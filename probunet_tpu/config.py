@@ -1,0 +1,128 @@
+"""Unified configuration for the whole framework.
+
+One dataclass covers both argparse surfaces of the reference
+(``train_prob_unet_model.py:12-57`` and ``trainmodel.py:14-62``), replacing the
+two divergent ``get_args()`` functions. ``parse_known_args`` semantics are kept
+so sweep runners can inject unknown flags. Unlike the reference, parsing has no
+filesystem side effects; directories are created lazily by the components that
+write to them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # --- climate dataset arguments (reference train_prob_unet_model.py:21-31) ---
+    datadir: str = "./data/climex"
+    variables: Tuple[str, ...] = ("pr", "tasmin", "tasmax")
+    years_train: Tuple[int, int] = (1960, 2060)   # half-open [start, end)
+    years_val: Tuple[int, int] = (2060, 2080)
+    years_test: Tuple[int, int] = (2080, 2098)
+    coords: Tuple[int, int, int, int] = (120, 184, 120, 184)  # rlon0, rlon1, rlat0, rlat1
+    resolution: Tuple[int, int] = (64, 64)
+    lowres_scale: int = 4
+    timetransform: str = "id"            # {"id", "cyclic"}
+    standardization: str = "perpixel"    # {"none", "perpixel", "pertimestep", "minmax"}
+
+    # --- model selection (reference trainmodel.py:33) ---
+    ds_model: str = "probabilistic_unet"  # {deterministic_unet, probabilistic_unet, linearcnn, bcsd}
+
+    # --- prob-U-Net architecture (reference main.py:32-37, prob_unet.py:129) ---
+    latent_dim: int = 6
+    num_filters: Tuple[int, ...] = (64, 128, 256, 512)
+
+    # --- ML training arguments (reference train_prob_unet_model.py:34-39) ---
+    batch_size: int = 8
+    num_epochs: int = 3
+    lr: float = 1e-3
+    accum: int = 1                  # gradient-accumulation steps (reference's knob is inert; ours works)
+    beta: float = 1.0               # ELBO KL weight
+    beta_schedule: str = "const"    # {"const", "linear", "cyclic"} — beta annealing (BASELINE config #4)
+    beta_warmup_steps: int = 0
+    optimizer: str = "adamw"
+    weight_decay: float = 0.01      # torch AdamW default
+    seed: int = 42
+
+    # --- numerics / TPU ---
+    compute_dtype: str = "float32"  # {"float32", "bfloat16"} activations/matmul dtype
+    use_pallas: bool = True         # fused Pallas kernels on TPU hot paths
+    remat: bool = False             # jax.checkpoint on U-Net blocks (memory/HBM trade)
+    donate_state: bool = True
+
+    # --- parallelism ---
+    mesh_shape: Tuple[int, ...] = (-1,)          # -1 => all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    device_resident_data: bool = True            # keep the full HR tensor in HBM
+
+    # --- observability ---
+    wandb: bool = False
+    log_every: int = 50
+    plotdir: str = "./results/plots"
+    checkpoints_dir: str = "./results/checkpoints"
+    metrics_path: str = ""          # JSONL metrics file ("" => <plotdir>/metrics.jsonl)
+    profile_dir: str = ""           # jax.profiler trace dir ("" => disabled)
+
+    # --- eval / sampling ---
+    num_samples: int = 3            # ensemble members for sampling plots
+    eval_seed: int = 1234           # seeded stochastic eval (reference eval samples the posterior)
+
+    def __post_init__(self) -> None:
+        if self.standardization not in ("none", "perpixel", "pertimestep", "minmax"):
+            raise ValueError(f"unknown standardization {self.standardization!r}")
+        if self.timetransform not in ("id", "cyclic"):
+            raise ValueError(f"unknown timetransform {self.timetransform!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+
+    # ---- convenience ----
+    @property
+    def nvars(self) -> int:
+        return len(self.variables)
+
+    def years(self, split: str) -> range:
+        lo, hi = {"train": self.years_train, "val": self.years_val, "test": self.years_test}[split]
+        return range(lo, hi)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, type=str, default=None)
+        else:
+            parser.add_argument(name, type=type(default), default=default)
+
+
+def _parse_tuple(s: str, elem=int) -> tuple:
+    return tuple(elem(x) for x in s.replace("(", "").replace(")", "").split(",") if x.strip())
+
+
+def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
+    """Parse CLI flags into a :class:`Config` (parse_known_args semantics,
+    mirroring reference ``train_prob_unet_model.py:55``)."""
+    parser = argparse.ArgumentParser()
+    _add_args(parser)
+    args, _unknown = parser.parse_known_args(argv)
+    kw = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name)
+        if v is None:
+            continue
+        if isinstance(f.default, tuple) and isinstance(v, str):
+            elem = str if f.name == "variables" else int
+            v = _parse_tuple(v, elem)
+        kw[f.name] = v
+    kw.update(overrides)
+    return Config(**kw)

@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the multi-chip stand-in mechanism (SURVEY.md §4): sharding tests get 8
+XLA host-platform devices without real TPU hardware. Note: the environment's
+``sitecustomize`` may pre-import jax with a TPU backend selected via
+``JAX_PLATFORMS``; ``jax.config.update`` after import still re-selects the
+backend as long as no computation has run, so we force CPU here.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
