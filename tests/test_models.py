@@ -1,0 +1,198 @@
+"""Model-layer tests: shapes, param counts, and weight-transplant forward
+parity against the PyTorch reference (used strictly as a test oracle)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probunet_tpu.models import LinearCNN, ProbabilisticUNet, UNet, build_unet_plan
+from probunet_tpu.utils.transplant import (
+    assert_tree_shapes_match,
+    torch_probunet_to_flax,
+    torch_unet_to_flax,
+)
+
+from conftest import REFERENCE_DIR, reference_available
+
+needs_reference = pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+
+
+def _count(tree):
+    return sum(int(np.size(x)) for x in jax.tree.leaves(tree))
+
+
+def _init_rngs(seed=0):
+    return {"params": jax.random.key(seed), "latent": jax.random.key(seed + 1),
+            "dropout": jax.random.key(seed + 2)}
+
+
+@pytest.fixture(scope="module")
+def probunet_and_params():
+    # Small config for fast CPU tests (full-size parity is covered in TestTorchParity).
+    m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                          num_filters=(16, 32), img_resolution=(32, 32),
+                          model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                          attn_resolutions=(16,))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = m.init(_init_rngs(), x, x, method=m.elbo)
+    return m, variables
+
+
+class TestPlan:
+    def test_plan_64(self):
+        enc, dec, final_c = build_unet_plan((64, 64), 3, 128, (1, 2, 3, 4), 2, (32, 16, 8))
+        assert [s.name for s in enc][:3] == ["64x64_conv", "64x64_block0", "64x64_block1"]
+        assert enc[0].kind == "conv"
+        # attention only at 32/16/8 resolutions
+        assert not any(s.attention for s in enc if s.name.startswith("64x64"))
+        assert all(s.attention for s in enc if s.name.startswith("8x8") and s.kind == "block"
+                   and "down" not in s.name)
+        # decoder: every level's blocks consume one skip each; all skips consumed
+        assert sum(1 for s in dec if s.concat_skip) == len(enc)
+        assert final_c == 128
+
+    def test_plan_nonsquare(self):
+        enc, dec, final_c = build_unet_plan((64, 32), 3, 64, (1, 2), 2, ())
+        assert enc[0].name == "64x32_conv"
+        assert final_c == 64
+
+
+class TestShapes:
+    @pytest.mark.parametrize("res", [(32, 32), (64, 64)])
+    def test_unet_shapes(self, res):
+        m = UNet(img_resolution=res, in_channels=3, out_channels=5, label_dim=0,
+                 use_diffuse=False, model_channels=32, attn_resolutions=(res[0] // 2,))
+        x = jnp.zeros((2, *res, 3))
+        v = m.init(_init_rngs(), x)
+        y = m.apply(v, x)
+        assert y.shape == (2, *res, 5)
+
+    def test_unet_zero_init_out_conv(self):
+        # out_conv is zero-init (networks.py:298): with zero-init conv1 too, the
+        # initial output must be exactly zero.
+        m = UNet(img_resolution=(32, 32), in_channels=3, out_channels=4, label_dim=0,
+                 use_diffuse=False, model_channels=32, attn_resolutions=())
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = m.init(_init_rngs(), x)
+        y = m.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+    def test_probunet_forward_and_sample(self, probunet_and_params):
+        m, v = probunet_and_params
+        x = jnp.zeros((2, 32, 32, 3))
+        y = m.apply(v, x, training=False, rngs={"latent": jax.random.key(9)})
+        assert y.shape == (2, 32, 32, 3)
+        s = m.apply(v, x, 5, rngs={"latent": jax.random.key(10)}, method=m.sample)
+        assert s.shape == (2, 5, 32, 32, 3)
+
+    def test_probunet_prior_draws_vary(self, probunet_and_params):
+        m, v = probunet_and_params
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32, 32, 3)), jnp.float32)
+        s = m.apply(v, x, 4, rngs={"latent": jax.random.key(11)}, method=m.sample)
+        spread = np.asarray(s).std(axis=1).mean()
+        assert spread > 0, "prior ensemble members must differ"
+
+    def test_linearcnn(self):
+        m = LinearCNN()
+        x = jnp.zeros((2, 64, 64, 3))
+        v = m.init({"params": jax.random.key(0)}, x)
+        assert m.apply(v, x).shape == (2, 64, 64, 3)
+        # params: 3*10*9+10 + 10*3*9+3 = 280 + 273
+        assert _count(v["params"]) == 553
+
+    def test_dropout_active_in_train(self, probunet_and_params):
+        m, v = probunet_and_params
+        # At init the zero-init out_conv makes the U-Net output exactly zero,
+        # hiding dropout — perturb params so the backbone contributes.
+        key_it = iter(jax.random.split(jax.random.key(42), 10_000))
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(next(key_it), p.shape, p.dtype), v["params"])
+        vp = {"params": params}
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 32, 32, 3)), jnp.float32)
+        t = jnp.zeros_like(x)
+        args = dict(rngs={"latent": jax.random.key(3), "dropout": jax.random.key(4)}, method=m.elbo)
+        l1 = m.apply(vp, x, t, train=True, **args)[0]
+        args2 = dict(rngs={"latent": jax.random.key(3), "dropout": jax.random.key(5)}, method=m.elbo)
+        l2 = m.apply(vp, x, t, train=True, **args2)[0]
+        assert not np.isclose(float(l1), float(l2)), "dropout rng must affect the train loss"
+
+
+@needs_reference
+class TestTorchParity:
+    """Weight-transplant parity vs the PyTorch reference (oracle only)."""
+
+    @pytest.fixture(scope="class")
+    def torch_mods(self):
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch  # noqa
+        import networks  # reference networks.py
+        import prob_unet as ref_pu
+        return torch, networks, ref_pu
+
+    def test_unet_param_count_and_forward(self, torch_mods):
+        torch, networks, _ = torch_mods
+        torch.manual_seed(0)
+        tm = networks.UNet(img_resolution=(64, 64), in_channels=3, out_channels=64,
+                           label_dim=0, use_diffuse=False).eval()
+        t_count = sum(p.numel() for p in tm.parameters())
+
+        m = UNet(img_resolution=(64, 64), in_channels=3, out_channels=64,
+                 label_dim=0, use_diffuse=False)
+        x_np = np.random.default_rng(3).standard_normal((2, 64, 64, 3)).astype(np.float32)
+        v = m.init(_init_rngs(), jnp.asarray(x_np))
+        assert _count(v["params"]) == t_count
+
+        state = {k: v_.detach().numpy() for k, v_ in tm.state_dict().items()}
+        params = torch_unet_to_flax(state)
+        assert_tree_shapes_match(params, v["params"])
+
+        ours = np.asarray(m.apply({"params": params}, jnp.asarray(x_np)))
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
+
+    def test_probunet_components_parity(self, torch_mods):
+        torch, _, ref_pu = torch_mods
+        torch.manual_seed(1)
+        tm = ref_pu.ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                                      num_filters=[64, 128, 256, 512]).eval()
+        t_count = sum(p.numel() for p in tm.parameters())
+        m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6)
+        x_np = np.random.default_rng(4).standard_normal((2, 64, 64, 3)).astype(np.float32)
+        t_np = np.random.default_rng(5).standard_normal((2, 64, 64, 3)).astype(np.float32)
+        z_np = np.random.default_rng(6).standard_normal((2, 6)).astype(np.float32)
+
+        v = m.init(_init_rngs(), jnp.asarray(x_np), jnp.asarray(t_np), method=m.elbo)
+        assert _count(v["params"]) == t_count
+
+        params = torch_probunet_to_flax({k: p.detach().numpy() for k, p in tm.state_dict().items()})
+        assert_tree_shapes_match(params, v["params"])
+        variables = {"params": params}
+
+        xt = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+        tt = torch.from_numpy(t_np).permute(0, 3, 1, 2)
+
+        # prior / posterior distribution parameters
+        prior, posterior = m.apply(variables, jnp.asarray(x_np), jnp.asarray(t_np),
+                                   method=m.latent_dists)
+        with torch.no_grad():
+            t_prior = tm.prior(xt)
+            t_post = tm.posterior(xt, tt)
+        np.testing.assert_allclose(np.asarray(prior.mu), t_prior.base_dist.loc.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(posterior.mu), t_post.base_dist.loc.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.exp(prior.log_sigma)),
+                                   t_prior.base_dist.scale.numpy(), rtol=1e-4, atol=1e-5)
+
+        # deterministic decode with a fixed z == torch unet+fcomb with same z
+        ours = np.asarray(m.apply(variables, jnp.asarray(x_np), jnp.asarray(z_np),
+                                  method=m.reconstruct))
+        with torch.no_grad():
+            feats = tm.unet(xt)
+            theirs = tm.fcomb(feats, torch.from_numpy(z_np)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
