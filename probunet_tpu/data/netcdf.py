@@ -1,0 +1,171 @@
+"""Minimal, dependency-light netCDF-4 (HDF5) ingest built on h5py.
+
+Replaces the reference's xarray + dask.distributed + h5netcdf stack
+(climex_utils.py:79-102, main.py:12): file discovery by the same glob pattern,
+windowed reads of the rotated-pole grid, and a thread pool standing in for the
+dask worker fan-out (h5py releases the GIL during HDF5 I/O). The result is the
+same in-RAM HR tensor — shaped (T, H, W, C) channels-last for TPU.
+
+ClimEx files are netCDF-4, i.e. HDF5 with dimension-scale conventions, so h5py
+reads them directly; this module also understands the 365-day ("noleap")
+calendar the ensemble uses.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import glob
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def discover_files(datadir: str, years: Sequence[int], variables: Sequence[str]) -> List[Tuple[int, str, str]]:
+    """Glob per (year, var) exactly like reference climex_utils.py:79-81."""
+    out = []
+    for year in years:
+        for var in variables:
+            pattern = f"{datadir}/*_{var}_*_{year}_*"
+            matches = glob.glob(pattern)
+            if not matches:
+                raise FileNotFoundError(f"no file matching {pattern}")
+            out.append((year, var, matches[0]))
+    return out
+
+
+def decode_time(values: np.ndarray, units: str, calendar: str = "standard") -> np.ndarray:
+    """CF time values -> datetime64[ns]. Supports 'days since ...' with the
+    standard and 365-day (noleap) calendars."""
+    m = re.match(r"(\w+)\s+since\s+([0-9-]+)", units)
+    if not m:
+        raise ValueError(f"unsupported time units: {units!r}")
+    unit, origin = m.group(1), m.group(2)
+    scale = {"days": 86400.0, "hours": 3600.0, "seconds": 1.0}[unit]
+    days = np.asarray(values, dtype=np.float64) * scale / 86400.0
+    base = np.datetime64(origin, "D")
+    if calendar.lower() in ("noleap", "365_day"):
+        # Map virtual noleap days onto real dates: every 365 days is one year
+        # starting at the same month/day as the origin.
+        year0 = int(str(base)[:4])
+        rest = base - np.datetime64(f"{year0:04d}-01-01", "D")
+        years = (days // 365).astype(np.int64)
+        doy = days - years * 365
+        dates = np.array([np.datetime64(f"{year0 + y:04d}-01-01", "D") + rest for y in years])
+        return (dates.astype("datetime64[ns]")
+                + (doy * 86400e9).astype("timedelta64[ns]"))
+    return (base.astype("datetime64[ns]") + (days * 86400e9).astype("timedelta64[ns]"))
+
+
+class NetCDFFile:
+    """One netCDF-4 file opened via h5py."""
+
+    def __init__(self, path: str):
+        if h5py is None:
+            raise ImportError("h5py is required for netCDF ingest")
+        self.path = path
+        self._f = h5py.File(path, "r")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _attr(self, ds, name, default=""):
+        v = ds.attrs.get(name, default)
+        return v.decode() if isinstance(v, bytes) else str(v)
+
+    def read_var(self, name: str, window: Optional[Tuple[slice, slice]] = None) -> np.ndarray:
+        """Read variable (time, rlat, rlon) with an optional (rlat, rlon) window.
+        Applies CF scale_factor/add_offset/_FillValue if present."""
+        ds = self._f[name]
+        if window is not None and ds.ndim == 3:
+            data = ds[:, window[0], window[1]]
+        elif window is not None and ds.ndim == 2:
+            data = ds[window[0], window[1]]
+        else:
+            data = ds[...]
+        data = np.asarray(data, dtype=np.float32)
+        if "scale_factor" in ds.attrs or "add_offset" in ds.attrs:
+            data = data * np.float32(ds.attrs.get("scale_factor", 1.0)) + np.float32(
+                ds.attrs.get("add_offset", 0.0))
+        return data
+
+    def read_time(self) -> np.ndarray:
+        t = self._f["time"]
+        units = self._attr(t, "units", "days since 1950-01-01")
+        calendar = self._attr(t, "calendar", "standard")
+        return decode_time(t[...], units, calendar)
+
+
+def load_window(
+    datadir: str,
+    years: Sequence[int],
+    variables: Sequence[str],
+    coords: Sequence[int] = (120, 184, 120, 184),
+    max_workers: int = 8,
+) -> Dict[str, np.ndarray]:
+    """Parallel windowed load of a ClimEx-style dataset.
+
+    coords = (rlon0, rlon1, rlat0, rlat1) exactly like reference
+    climex_utils.py:74-75: variables are indexed [time, rlat, rlon], so the
+    window is [:, rlat0:rlat1, rlon0:rlon1].
+
+    Returns {"hr": (T, H, W, C) float32, "timestamps": (T,) float ns,
+             "lat": (H, W), "lon": (H, W)}.
+    """
+    rlon = slice(coords[0], coords[1])
+    rlat = slice(coords[2], coords[3])
+    files = discover_files(datadir, years, variables)
+    var_index = {v: i for i, v in enumerate(variables)}
+
+    def read_one(entry):
+        year, var, path = entry
+        with NetCDFFile(path) as f:
+            data = f.read_var(var, (rlat, rlon))
+            times = f.read_time() if var == variables[0] else None
+            latlon = None
+            if year == years[0] and var == variables[0]:
+                lat = f.read_var("lat", (rlat, rlon))
+                lon = f.read_var("lon", (rlat, rlon))
+                # some ClimEx files carry (time, rlat, rlon) lat/lon; take t=0
+                if lat.ndim == 3:
+                    lat, lon = lat[0], lon[0]
+                latlon = (lat, lon)
+        return year, var, data, times, latlon
+
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        results = list(pool.map(read_one, files))
+
+    per_year: Dict[int, dict] = {}
+    lat = lon = None
+    for year, var, data, times, latlon in results:
+        d = per_year.setdefault(year, {"times": None, "vars": {}})
+        d["vars"][var] = data
+        if times is not None:
+            d["times"] = times
+        if latlon is not None:
+            lat, lon = latlon
+
+    hr_chunks, ts_chunks = [], []
+    for year in sorted(per_year):
+        d = per_year[year]
+        stacked = np.stack([d["vars"][v] for v in variables], axis=-1)  # (T, H, W, C)
+        hr_chunks.append(stacked)
+        ts_chunks.append(d["times"].astype("datetime64[ns]").astype(float))
+    return {
+        "hr": np.concatenate(hr_chunks, axis=0),
+        "timestamps": np.concatenate(ts_chunks, axis=0),
+        "lat": lat,
+        "lon": lon,
+    }
