@@ -1,0 +1,7 @@
+from probunet_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    put_replicated,
+    put_batch,
+)

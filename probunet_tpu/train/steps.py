@@ -1,0 +1,218 @@
+"""Jitted train/eval/sample steps — one XLA program per step.
+
+Each training step fuses the ENTIRE per-step pipeline into a single compiled
+program: gather the HR batch from the device-resident dataset tensor, LR/HR
+pair synthesis + standardization, ELBO forward, backward, and the AdamW
+update. The reference performs the data transform per-item on the host CPU
+(climex_utils.py:122-164) and the optimizer step in eager torch
+(train_prob_unet_model.py:85-92); fusing it all is the main throughput lever
+on TPU (BASELINE.md north star).
+
+Factory functions close over static configuration and return jit-compiled
+callables. Donation of the train state avoids a params-sized copy per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from probunet_tpu.data import transforms
+from probunet_tpu.data.units import k_to_c, kgm2s_to_mmday
+from probunet_tpu.train.state import TrainState
+
+
+def beta_schedule(schedule: str, beta: float, warmup_steps: int = 0) -> Callable[[jax.Array], jax.Array]:
+    """KL-weight schedule (BASELINE config #4 'beta-annealed KL').
+
+    const  : beta
+    linear : 0 -> beta over warmup_steps, then beta
+    cyclic : sawtooth 0 -> beta every warmup_steps (cyclical annealing)
+    """
+    def fn(step: jax.Array) -> jax.Array:
+        s = step.astype(jnp.float32)
+        if schedule == "const" or warmup_steps <= 0:
+            return jnp.float32(beta)
+        if schedule == "linear":
+            return beta * jnp.minimum(s / warmup_steps, 1.0)
+        if schedule == "cyclic":
+            return beta * jnp.minimum((s % warmup_steps) / (0.5 * warmup_steps), 1.0)
+        raise ValueError(f"unknown beta schedule {schedule!r}")
+    return fn
+
+
+def _split_rngs(rng: jax.Array, step: jax.Array):
+    r = jax.random.fold_in(rng, step)
+    r_latent, r_dropout = jax.random.split(r)
+    return {"latent": r_latent, "dropout": r_dropout}
+
+
+def make_probunet_train_step(
+    model,
+    tx,
+    lowres_scale: int,
+    standardization: str,
+    beta_fn: Optional[Callable] = None,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """Returns step(state, hr_all, stats, idx, rng) -> (state, metrics).
+
+    hr_all: (T, H, W, C) device-resident dataset tensor; idx: (B,) int batch
+    indices; stats: split statistics from ClimexDataset.stats.
+    """
+    beta_fn = beta_fn or (lambda step: jnp.float32(model.beta))
+
+    def step(state: TrainState, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        y = pair["targets"].astype(compute_dtype)
+        beta = beta_fn(state.step)
+        rngs = _split_rngs(rng, state.step)
+
+        def loss_fn(params):
+            total, recon, kl = model.apply(
+                {"params": params}, x, y, beta, train=True, rngs=rngs, method=model.elbo)
+            return total, (recon, kl)
+
+        (total, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_probunet_eval_step(model, lowres_scale: int, standardization: str,
+                            compute_dtype=jnp.float32):
+    """Stochastic, seeded ELBO evaluation — the reference's eval still samples
+    the posterior (prob_unet.py:221 under eval_probunet_model), kept but made
+    reproducible; dropout off (model.eval())."""
+
+    def step(params, hr_all, stats, idx, rng, beta):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        y = pair["targets"].astype(compute_dtype)
+        total, recon, kl = model.apply(
+            {"params": params}, x, y, beta, train=False,
+            rngs={"latent": rng}, method=model.elbo)
+        return {"val_loss": total, "val_recon_loss": recon, "val_kl_div": kl}
+
+    return jax.jit(step)
+
+
+def make_sample_fn(model, lowres_scale: int, standardization: str, num_samples: int,
+                   compute_dtype=jnp.float32):
+    """Ensemble inference: K vmapped prior draws -> physical HR fields.
+
+    Returns fn(params, hr_all, stats, idx, rng) -> (B, K, H, W, C) hr_preds
+    plus the batch dict pieces needed for plotting. The residual->HR inverse
+    runs on device inside the same program (the reference does it on CPU,
+    train_prob_unet_model.py:181)."""
+
+    def fn(params, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        preds = model.apply({"params": params}, x, num_samples,
+                            rngs={"latent": rng}, method=model.sample)
+        preds = preds.astype(jnp.float32)
+        # stats broadcast over the K axis for the inverse transform
+        if sl is not None and standardization != "perpixel":
+            sl_k = (sl[0][:, None], sl[1][:, None])
+        else:
+            sl_k = sl
+        hr_preds = transforms.residual_to_hr(
+            preds, pair["lrinterp"][:, None], standardization, sl_k)
+        return hr_preds, pair
+
+    return jax.jit(fn, static_argnames=())
+
+
+def make_deterministic_train_step(
+    model,
+    tx,
+    lowres_scale: int,
+    standardization: str,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+    loss: str = "mse",
+):
+    """MSE training step for the deterministic U-Net / LinearCNN baselines
+    (reference trainmodel.py:119-202), with per-variable loss metrics."""
+
+    def loss_of(pred, target):
+        d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        return jnp.mean(jnp.square(d)) if loss == "mse" else jnp.mean(jnp.abs(d))
+
+    def step(state: TrainState, hr_all, stats, idx, timestamps, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        y = pair["targets"].astype(compute_dtype)
+        rngs = _split_rngs(rng, state.step)
+
+        def loss_fn(params):
+            preds = model.apply({"params": params}, x, class_labels=timestamps[:, None],
+                                train=True, rngs=rngs)
+            return loss_of(preds, y), preds
+
+        (total, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {"train_loss": total}
+        for i in range(y.shape[-1]):
+            metrics[f"train_loss_var{i}"] = loss_of(preds[..., i], y[..., i])
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_deterministic_eval_step(model, lowres_scale: int, standardization: str,
+                                 variables: Tuple[str, ...],
+                                 reconstruct: bool = False, loss: str = "mse",
+                                 compute_dtype=jnp.float32):
+    """Per-variable eval (reference trainmodel.py:235-304). With
+    ``reconstruct=True`` losses are computed on physical HR fields after
+    residual->HR and unit conversion (mm/day, deg C)."""
+
+    def loss_of(pred, target):
+        d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+        return jnp.mean(jnp.square(d)) if loss == "mse" else jnp.mean(jnp.abs(d))
+
+    def to_physical(field, var):
+        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
+
+    def step(params, hr_all, stats, idx, timestamps):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        preds = model.apply({"params": params}, x, class_labels=timestamps[:, None],
+                            train=False)
+        out = {}
+        if reconstruct:
+            hr_pred = transforms.residual_to_hr(preds.astype(jnp.float32),
+                                                pair["lrinterp"], standardization, sl)
+            for i, var in enumerate(variables):
+                out[f"eval_{var}"] = loss_of(to_physical(hr_pred[..., i], var),
+                                             to_physical(hr[..., i], var))
+        else:
+            y = pair["targets"]
+            for i, var in enumerate(variables):
+                out[f"eval_{var}"] = loss_of(preds[..., i], y[..., i])
+        return out
+
+    return jax.jit(step)
