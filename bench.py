@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: Probabilistic U-Net fused training-step throughput.
+
+Runs the flagship configuration of the reference's recorded run
+(BASELINE.md: prob-U-Net, 64x64 tiles, 3 variables, batch 8, latent_dim 6,
+num_filters [64,128,256,512], perpixel standardization, AdamW) as this
+framework's single-XLA-program train step on one chip, and reports samples/sec
+against the reference's recorded 13.18 it/s * 8 = 105.4 samples/s
+(notebooks/test_prob_unet.ipynb cell 1).
+
+Prints ONE JSON line to stdout. Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_SAMPLES_PER_SEC = 13.185 * 8  # BASELINE.md training throughput
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: repeat bench/driver runs skip XLA compiles.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_probunet"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probunet_tpu.data import transforms
+    from probunet_tpu.models import ProbabilisticUNet
+    from probunet_tpu.train import (
+        create_train_state,
+        make_probunet_train_multistep,
+        make_probunet_train_step,
+    )
+    from probunet_tpu.train.state import make_optimizer
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    compute_dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    log(f"devices: {jax.devices()}")
+    model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                              num_filters=(64, 128, 256, 512))
+    tx = make_optimizer(lr=1e-3)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+    t0 = time.perf_counter()
+    variables = jax.jit(lambda: model.init(rngs, x0, x0, method=model.elbo))()
+    state = create_train_state(variables["params"], tx)
+    log(f"init: {time.perf_counter() - t0:.1f}s, "
+        f"params={sum(p.size for p in jax.tree.leaves(state.params)):,}")
+
+    # Synthetic device-resident dataset (same shapes as the recorded run).
+    t = 512
+    rng_np = np.random.default_rng(0)
+    hr = jnp.asarray(rng_np.standard_normal((t, 64, 64, 3)).astype(np.float32) + 2.0)
+    stats = transforms.compute_lr_stats(hr, 4, "perpixel")
+
+    # Scanned multi-step: the whole measured run is ONE XLA program, so the
+    # number is pure device throughput (host dispatch amortized away — this is
+    # also how the training loop runs epochs).
+    multistep = make_probunet_train_multistep(model, tx, 4, "perpixel",
+                                              compute_dtype=compute_dtype, donate=True)
+    rng = jax.random.key(3)
+    rng_np2 = np.random.default_rng(1)
+
+    def idx_block(seed):
+        return jnp.asarray(rng_np2.integers(0, t, size=(steps, batch)))
+
+    t0 = time.perf_counter()
+    state, metrics = multistep(state, hr, stats, idx_block(0), rng)
+    jax.block_until_ready(metrics["train_loss"])
+    log(f"compile+first block: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state, metrics = multistep(state, hr, stats, idx_block(1), rng)
+    jax.block_until_ready(metrics["train_loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt
+    samples_per_sec = steps_per_sec * batch
+    log(f"{steps} scanned steps in {dt:.2f}s -> {steps_per_sec:.2f} steps/s, "
+        f"{samples_per_sec:.1f} samples/s (last loss={float(metrics["train_loss"][-1]):.2f})")
+
+    print(json.dumps({
+        "metric": "probunet_train_samples_per_sec_64x64_b8",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

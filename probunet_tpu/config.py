@@ -36,6 +36,11 @@ class Config:
     # --- prob-U-Net architecture (reference main.py:32-37, prob_unet.py:129) ---
     latent_dim: int = 6
     num_filters: Tuple[int, ...] = (64, 128, 256, 512)
+    model_channels: int = 128               # U-Net width (networks.py:232; baseline uses 64)
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    num_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (32, 16, 8)
+    dropout: float = 0.10
 
     # --- ML training arguments (reference train_prob_unet_model.py:34-39) ---
     batch_size: int = 8

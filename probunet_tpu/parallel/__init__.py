@@ -4,4 +4,5 @@ from probunet_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     put_replicated,
     put_batch,
+    put_sharded,
 )

@@ -52,3 +52,8 @@ def put_replicated(tree, mesh: Mesh):
 
 def put_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.device_put(tree, batch_sharding(mesh, axis))
+
+
+def put_sharded(tree, mesh: Mesh, *spec):
+    """device_put with an explicit PartitionSpec, e.g. put_sharded(x, mesh, None, 'data')."""
+    return jax.device_put(tree, NamedSharding(mesh, P(*spec)))

@@ -50,20 +50,9 @@ def _split_rngs(rng: jax.Array, step: jax.Array):
     return {"latent": r_latent, "dropout": r_dropout}
 
 
-def make_probunet_train_step(
-    model,
-    tx,
-    lowres_scale: int,
-    standardization: str,
-    beta_fn: Optional[Callable] = None,
-    compute_dtype=jnp.float32,
-    donate: bool = True,
-):
-    """Returns step(state, hr_all, stats, idx, rng) -> (state, metrics).
-
-    hr_all: (T, H, W, C) device-resident dataset tensor; idx: (B,) int batch
-    indices; stats: split statistics from ClimexDataset.stats.
-    """
+def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
+                        beta_fn: Optional[Callable], compute_dtype):
+    """Unjitted single-step body shared by the per-step and scanned variants."""
     beta_fn = beta_fn or (lambda step: jnp.float32(model.beta))
 
     def step(state: TrainState, hr_all, stats, idx, rng):
@@ -87,7 +76,53 @@ def make_probunet_train_step(
         metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta}
         return new_state, metrics
 
+    return step
+
+
+def make_probunet_train_step(
+    model,
+    tx,
+    lowres_scale: int,
+    standardization: str,
+    beta_fn: Optional[Callable] = None,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """Returns step(state, hr_all, stats, idx, rng) -> (state, metrics).
+
+    hr_all: (T, H, W, C) device-resident dataset tensor; idx: (B,) int batch
+    indices; stats: split statistics from ClimexDataset.stats.
+    """
+    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn, compute_dtype)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_probunet_train_multistep(
+    model,
+    tx,
+    lowres_scale: int,
+    standardization: str,
+    beta_fn: Optional[Callable] = None,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """K training steps in ONE XLA program via lax.scan.
+
+    multi(state, hr_all, stats, idxs, rng) with idxs of shape (K, B) runs K
+    optimizer steps and returns per-step stacked metrics. Amortizes host
+    dispatch (decisive when the chip sits behind a network tunnel) and lets
+    XLA overlap the batch gather of step k+1 with the math of step k."""
+    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn, compute_dtype)
+
+    def multi(state, hr_all, stats, idxs, rng):
+        def body(carry, idx):
+            new_state, metrics = step(carry, hr_all, stats, idx, rng)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, idxs)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_probunet_eval_step(model, lowres_scale: int, standardization: str,

@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Deterministic U-Net / LinearCNN / BCSD training (reference baseline/main.py).
+
+    python scripts/train_baseline.py --ds_model deterministic_unet [flags...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from probunet_tpu.config import get_config
+from probunet_tpu.train.loop import train_baseline
+
+
+def main():
+    synthetic = "--synthetic" in sys.argv
+    cfg = get_config()
+    if "--ds_model" not in " ".join(sys.argv):
+        cfg = cfg.replace(ds_model="deterministic_unet")
+    if cfg.ds_model == "probabilistic_unet":
+        raise SystemExit("use scripts/train_probunet.py for the probabilistic model")
+    if synthetic:
+        from probunet_tpu.data.synthetic import generate_climex_like
+        datadir = cfg.datadir if os.path.isdir(cfg.datadir) else "./data/synthetic_climex"
+        if not os.path.isdir(datadir) or not os.listdir(datadir):
+            years = range(cfg.years_train[0], cfg.years_test[1])
+            generate_climex_like(datadir, years=years, grid=max(cfg.coords[1], cfg.coords[3]))
+        cfg = cfg.replace(datadir=datadir)
+    train_baseline(cfg)
+
+
+if __name__ == "__main__":
+    main()

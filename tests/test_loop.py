@@ -1,0 +1,81 @@
+"""Integration tests: full train_probunet / train_baseline loops on synthetic
+netCDF data with tiny models (the reference's notebook smoke run, automated)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from probunet_tpu.config import Config
+from probunet_tpu.data.synthetic import generate_climex_like
+from probunet_tpu.train.loop import load_datasets, run_bcsd, train_baseline, train_probunet
+
+
+@pytest.fixture(scope="module")
+def datadir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("climex_e2e")
+    generate_climex_like(str(d), years=(2000, 2001, 2002), grid=32, days_per_year=30)
+    return str(d)
+
+
+def _cfg(datadir, tmp_path, **kw):
+    base = dict(
+        datadir=datadir,
+        years_train=(2000, 2001),
+        years_val=(2001, 2002),
+        years_test=(2002, 2003),
+        coords=(0, 32, 0, 32),
+        resolution=(32, 32),
+        lowres_scale=4,
+        batch_size=4,
+        num_epochs=2,
+        log_every=3,
+        latent_dim=4,
+        num_filters=(8, 16),
+        model_channels=8,
+        channel_mult=(1, 2),
+        num_blocks=1,
+        attn_resolutions=(16,),
+        plotdir=os.path.join(str(tmp_path), "plots"),
+        checkpoints_dir=os.path.join(str(tmp_path), "ckpt"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_probunet_e2e(datadir, tmp_path):
+    cfg = _cfg(datadir, tmp_path)
+    res = train_probunet(cfg, make_plots=True)
+    assert len(res["tr_losses"]) == 2
+    assert np.isfinite(res["tr_losses"]).all() and np.isfinite(res["val_losses"]).all()
+    # loss should drop between first and last epoch on this easy synthetic task
+    assert res["tr_losses"][-1] < res["tr_losses"][0]
+    # artifacts: loss curve + epoch-2 ensemble plot + metrics + checkpoint
+    assert os.path.exists(os.path.join(cfg.plotdir, "loss.png"))
+    assert os.path.exists(os.path.join(cfg.plotdir, "epoch2.png"))
+    assert os.path.exists(os.path.join(cfg.plotdir, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(cfg.checkpoints_dir, "probunet"))
+
+
+def test_train_baseline_unet_e2e(datadir, tmp_path):
+    cfg = _cfg(datadir, tmp_path, ds_model="deterministic_unet", num_epochs=1,
+               model_channels=8)
+    res = train_baseline(cfg, make_plots=False)
+    for v in cfg.variables:
+        assert np.isfinite(res["mae"][v])
+        assert len(res["tr_losses"][v]) > 0
+
+
+def test_train_baseline_linearcnn_e2e(datadir, tmp_path):
+    cfg = _cfg(datadir, tmp_path, ds_model="linearcnn", num_epochs=1)
+    res = train_baseline(cfg, make_plots=False)
+    assert all(np.isfinite(res["mae"][v]) for v in cfg.variables)
+
+
+def test_bcsd_e2e(datadir, tmp_path):
+    cfg = _cfg(datadir, tmp_path, ds_model="bcsd")
+    out = run_bcsd(cfg, load_datasets(cfg))
+    assert set(out) == {"val", "test"}
+    for split in out.values():
+        assert np.asarray(split["preds"]).shape == (30, 32, 32, 3)
+        assert all(np.isfinite(m) for m in split["mae"].values())
