@@ -57,9 +57,12 @@ def main():
     x0 = jnp.zeros((1, 64, 64, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
             "dropout": jax.random.key(2)}
+    from probunet_tpu.utils.hostinit import init_on_cpu
+
     t0 = time.perf_counter()
-    variables = jax.jit(lambda: model.init(rngs, x0, x0, method=model.elbo))()
-    state = create_train_state(variables["params"], tx)
+    variables = init_on_cpu(lambda: model.init(rngs, x0, x0, method=model.elbo))
+    state = jax.device_put(create_train_state(variables["params"], tx),
+                           jax.devices()[0])
     log(f"init: {time.perf_counter() - t0:.1f}s, "
         f"params={sum(p.size for p in jax.tree.leaves(state.params)):,}")
 

@@ -174,6 +174,20 @@ class ProbabilisticUNet(nn.Module):
         """Deterministic decode with a supplied latent (no sampling)."""
         return self.fcomb(self.unet(x, train=train), z)
 
+    def elbo_with_z(self, x: jax.Array, target: jax.Array, z: jax.Array,
+                    beta: Optional[jax.Array] = None, *, train: bool = False):
+        """ELBO with an externally supplied posterior draw — the deterministic
+        parity-harness variant (same math as :meth:`elbo`, no sampling)."""
+        features = self.unet(x, train=train)
+        prior = self.prior(x)
+        posterior = self.posterior(x, target)
+        out = self.fcomb(features, z)
+        diff = out.astype(jnp.float32) - target.astype(jnp.float32)
+        recon = jnp.sum(jnp.square(diff))
+        kl = kl_diag_gaussian(posterior, prior).sum()
+        b = self.beta if beta is None else beta
+        return recon + b * kl, recon, kl
+
     def latent_dists(self, x: jax.Array, target: Optional[jax.Array] = None):
         """Returns (prior, posterior) DiagGaussians; posterior is None without a target."""
         prior = self.prior(x)

@@ -72,14 +72,14 @@ def build_probunet(cfg: Config) -> ProbabilisticUNet:
 
 
 def init_probunet_state(cfg: Config, model, tx, rng=None):
+    from probunet_tpu.utils.hostinit import init_on_cpu
+
     rng = rng if rng is not None else jax.random.key(cfg.seed)
     h, w = cfg.resolution
-    x = jnp.zeros((1, h, w, cfg.nvars))
-    r_params, r_latent, r_drop = jax.random.split(rng, 3)
-    variables = jax.jit(
-        lambda: model.init({"params": r_params, "latent": r_latent, "dropout": r_drop},
-                           x, x, method=model.elbo),
-    )()
+    variables = init_on_cpu(lambda: model.init(
+        {"params": rng, "latent": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, h, w, cfg.nvars)), jnp.zeros((1, h, w, cfg.nvars)),
+        method=model.elbo))
     return create_train_state(variables["params"], tx)
 
 
