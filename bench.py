@@ -28,6 +28,10 @@ def log(*a):
 def main():
     import jax
 
+    from probunet_tpu.utils.hostinit import ensure_cpu_backend
+
+    ensure_cpu_backend()  # must run before any backend use (host-side init)
+
     # Persistent compilation cache: repeat bench/driver runs skip XLA compiles.
     cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_probunet"))
     os.makedirs(cache_dir, exist_ok=True)
@@ -57,12 +61,17 @@ def main():
     x0 = jnp.zeros((1, 64, 64, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
             "dropout": jax.random.key(2)}
-    from probunet_tpu.utils.hostinit import init_on_cpu
-
     t0 = time.perf_counter()
-    variables = init_on_cpu(lambda: model.init(rngs, x0, x0, method=model.elbo))
-    state = jax.device_put(create_train_state(variables["params"], tx),
-                           jax.devices()[0])
+    # Throughput is weight-value independent: materialize the param tree from
+    # shapes only (real training uses probunet_tpu.utils.hostinit.init_on_cpu).
+    va = jax.eval_shape(lambda: model.init(rngs, x0, x0, method=model.elbo))
+    fill_rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            fill_rng.standard_normal(s.shape).astype(np.float32)
+            * (1.0 / np.sqrt(max(1, int(np.prod(s.shape[:-1]))))), dtype=s.dtype),
+        va)["params"]
+    state = jax.device_put(create_train_state(params, tx), jax.devices()[0])
     log(f"init: {time.perf_counter() - t0:.1f}s, "
         f"params={sum(p.size for p in jax.tree.leaves(state.params)):,}")
 
@@ -72,31 +81,30 @@ def main():
     hr = jnp.asarray(rng_np.standard_normal((t, 64, 64, 3)).astype(np.float32) + 2.0)
     stats = transforms.compute_lr_stats(hr, 4, "perpixel")
 
-    # Scanned multi-step: the whole measured run is ONE XLA program, so the
-    # number is pure device throughput (host dispatch amortized away — this is
-    # also how the training loop runs epochs).
-    multistep = make_probunet_train_multistep(model, tx, 4, "perpixel",
-                                              compute_dtype=compute_dtype, donate=True)
+    step = make_probunet_train_step(model, tx, 4, "perpixel",
+                                    compute_dtype=compute_dtype, donate=True)
     rng = jax.random.key(3)
-    rng_np2 = np.random.default_rng(1)
-
-    def idx_block(seed):
-        return jnp.asarray(rng_np2.integers(0, t, size=(steps, batch)))
+    idx0 = jnp.arange(batch)
 
     t0 = time.perf_counter()
-    state, metrics = multistep(state, hr, stats, idx_block(0), rng)
+    state, metrics = step(state, hr, stats, idx0, rng)
     jax.block_until_ready(metrics["train_loss"])
-    log(f"compile+first block: {time.perf_counter() - t0:.1f}s")
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    for w in range(5):  # warmup
+        state, metrics = step(state, hr, stats, (idx0 + w * batch) % t, rng)
+    jax.block_until_ready(metrics["train_loss"])
 
     t0 = time.perf_counter()
-    state, metrics = multistep(state, hr, stats, idx_block(1), rng)
+    for i in range(steps):
+        state, metrics = step(state, hr, stats, (idx0 + i * batch) % t, rng)
     jax.block_until_ready(metrics["train_loss"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt
     samples_per_sec = steps_per_sec * batch
-    log(f"{steps} scanned steps in {dt:.2f}s -> {steps_per_sec:.2f} steps/s, "
-        f"{samples_per_sec:.1f} samples/s (last loss={float(metrics["train_loss"][-1]):.2f})")
+    log(f"{steps} steps in {dt:.2f}s -> {steps_per_sec:.2f} steps/s, "
+        f"{samples_per_sec:.1f} samples/s (loss={float(metrics["train_loss"]):.2f})")
 
     print(json.dumps({
         "metric": "probunet_train_samples_per_sec_64x64_b8",

@@ -221,6 +221,27 @@ class GroupNorm(nn.Module):
         return _group_norm_fn(x, weight, bias, g, self.eps)
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm immediately followed by SiLU, fused via the Pallas kernel on
+    TPU (probunet_tpu.ops.pallas_gn). Param tree is identical to GroupNorm's
+    (weight/bias), so torch transplant mapping is unchanged."""
+
+    num_channels: int
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+    force: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'interpret'
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from probunet_tpu.ops.pallas_gn import gn_silu
+
+        weight = self.param("weight", lambda _: jnp.ones((self.num_channels,), jnp.float32))
+        bias = self.param("bias", lambda _: jnp.zeros((self.num_channels,), jnp.float32))
+        g = num_groups_for(self.num_channels, self.num_groups, self.min_channels_per_group)
+        return gn_silu(x, weight, bias, g, self.eps, self.force)
+
+
 def attention_weights(q: jax.Array, k: jax.Array) -> jax.Array:
     """softmax(Q^T K / sqrt(c)) in fp32 (reference AttentionOp, networks.py:112-125).
 

@@ -30,6 +30,7 @@ from probunet_tpu.models.layers import (
     ADM_INIT_ZERO,
     Conv2d,
     GroupNorm,
+    GroupNormSiLU,
     Init,
     Linear,
     PositionalEmbedding,
@@ -71,9 +72,10 @@ class UNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
         orig = x
+        # norm0 -> SiLU is a fused Pallas kernel on TPU (same params as GroupNorm)
         x = Conv2d(self.in_channels, self.out_channels, 3, up=self.up, down=self.down,
                    resample_filter=self.resample_filter, init=self.init, name="conv0")(
-            silu(GroupNorm(self.in_channels, eps=self.eps, name="norm0")(x)))
+            GroupNormSiLU(self.in_channels, eps=self.eps, name="norm0")(x))
 
         affine_out = self.out_channels * (2 if self.adaptive_scale else 1)
         params = Linear(self.emb_channels, affine_out, init=self.init, name="affine")(emb)
@@ -276,5 +278,5 @@ class UNet(nn.Module):
             x = make_block(spec, "dec")(x, emb, train=train)
 
         x = Conv2d(final_c, self.out_channels, 3, init=init_zero, name="out_conv")(
-            silu(GroupNorm(final_c, name="out_norm")(x)))
+            GroupNormSiLU(final_c, name="out_norm")(x))
         return x

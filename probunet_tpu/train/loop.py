@@ -24,14 +24,13 @@ from probunet_tpu.config import Config
 from probunet_tpu.data.dataset import ClimexDataset
 from probunet_tpu.models import LinearCNN, ProbabilisticUNet, UNet, bcsd
 from probunet_tpu.models.baselines import day_of_year_365
-from probunet_tpu.parallel import make_mesh, put_batch, put_replicated, put_sharded
+from probunet_tpu.parallel import make_mesh, put_batch, put_replicated
 from probunet_tpu.train import (
     beta_schedule,
     create_train_state,
     make_deterministic_eval_step,
     make_deterministic_train_step,
     make_probunet_eval_step,
-    make_probunet_train_multistep,
     make_probunet_train_step,
     make_sample_fn,
 )
@@ -99,9 +98,6 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     train_step = make_probunet_train_step(model, tx, cfg.lowres_scale,
                                           cfg.standardization, beta_fn, dtype,
                                           donate=cfg.donate_state)
-    train_multistep = make_probunet_train_multistep(model, tx, cfg.lowres_scale,
-                                                    cfg.standardization, beta_fn, dtype,
-                                                    donate=cfg.donate_state)
     eval_step = make_probunet_eval_step(model, cfg.lowres_scale, cfg.standardization, dtype)
     sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
                                cfg.num_samples, dtype)
@@ -116,9 +112,6 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    def put_idxs(idxs):  # (K, B) chunk
-        return (put_sharded(idxs, mesh, None, "data") if idxs.shape[-1] % nd == 0
-                else put_replicated(idxs, mesh))
     hr_train = put_data(ds_train.hr_device())
     hr_val = put_data(ds_val.hr_device())
     stats_train = put_replicated(ds_train.stats, mesh)
@@ -133,31 +126,25 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
     tr_losses, val_losses = [], []
     step_count = 0
-    chunk = max(1, cfg.log_every)
     for epoch in range(1, cfg.num_epochs + 1):
-        # ---- train: scanned chunks of `log_every` steps, one XLA program each ----
+        # ---- train: one fused XLA program per step, dispatched async (the
+        # scanned-epoch variant exists but carrying 1.2 GB of opt state through
+        # lax.scan costs more than per-step dispatch on this runtime) ----
         batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
         nb = batches.shape[0]
         running = []
         timer.reset()
-        bar = progress(range(0, nb - nb % chunk, chunk),
-                       desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}")
-        for b0 in bar:
-            idxs = put_idxs(jnp.asarray(batches[b0:b0 + chunk]))
-            state, metrics = train_multistep(state, hr_train, stats_train, idxs, rng)
-            step_count += chunk
-            timer.tick(cfg.batch_size * chunk)
-            m = {k: float(v[-1]) for k, v in metrics.items()}
-            m["samples_per_sec"] = timer.rate()
-            logger.log(m, step=step_count)
-            running.append(metrics["train_loss"])
-        for bi in range(nb - nb % chunk, nb):  # remainder, single steps
+        for bi in progress(range(nb), desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
             idx = put_idx(jnp.asarray(batches[bi]))
             state, metrics = train_step(state, hr_train, stats_train, idx, rng)
             step_count += 1
             timer.tick(cfg.batch_size)
-            running.append(metrics["train_loss"][None])
-        epoch_tr = float(jnp.mean(jnp.concatenate(running)))
+            running.append(metrics["train_loss"])
+            if step_count % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["samples_per_sec"] = timer.rate()
+                logger.log(m, step=step_count)
+        epoch_tr = float(jnp.mean(jnp.stack(running)))
         tr_losses.append(epoch_tr)
 
         # ---- eval (stochastic, seeded; reference eval_probunet_model) ----

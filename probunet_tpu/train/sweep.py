@@ -1,0 +1,75 @@
+"""Hyperparameter sweeps (reference sweeps.yaml + wandb agent).
+
+Reads a wandb-style sweep YAML (``method: grid``, ``parameters: {name:
+{values: [...]}}``, ``metric: {name, goal}``) and runs the training pipeline
+for every grid point, locally, recording the optimization metric per run and
+returning the best configuration. The reference's sweep minimizes
+``val-loss`` (sweeps.yaml:5-7) — a key its training loop never actually logs
+(it logs ``val_loss``); both spellings are accepted here.
+
+Runs execute in-process sequentially (one accelerator) — each run is already
+fully device-parallel; wandb, when installed and enabled, receives per-run
+logs through the standard MetricLogger.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import Dict, List, Optional
+
+import yaml
+
+from probunet_tpu.config import Config
+
+
+def load_sweep(path: str) -> Dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def grid_points(sweep: Dict) -> List[Dict]:
+    params = sweep.get("parameters", {})
+    names, valuess = [], []
+    for name, spec in params.items():
+        names.append(name)
+        valuess.append(spec["values"] if isinstance(spec, dict) else list(spec))
+    return [dict(zip(names, combo)) for combo in itertools.product(*valuess)]
+
+
+def _metric_name(sweep: Dict) -> str:
+    name = (sweep.get("metric") or {}).get("name", "val_loss")
+    return "val_loss" if name == "val-loss" else name
+
+
+def run_sweep(sweep_path: str, base_cfg: Config, out_path: Optional[str] = None,
+              train_fn=None) -> Dict:
+    """Execute the grid; returns {"runs": [...], "best": {...}}."""
+    from probunet_tpu.train.loop import train_probunet
+
+    sweep = load_sweep(sweep_path)
+    train_fn = train_fn or (lambda cfg: train_probunet(cfg, make_plots=False))
+    metric = _metric_name(sweep)
+    goal = (sweep.get("metric") or {}).get("goal", "minimize")
+    sign = 1.0 if goal == "minimize" else -1.0
+
+    runs = []
+    for i, point in enumerate(grid_points(sweep)):
+        overrides = {k: v for k, v in point.items() if hasattr(base_cfg, k)}
+        cfg = base_cfg.replace(**overrides)
+        cfg = cfg.replace(plotdir=os.path.join(base_cfg.plotdir, f"sweep_{i}"),
+                          checkpoints_dir=os.path.join(base_cfg.checkpoints_dir, f"sweep_{i}"))
+        result = train_fn(cfg)
+        value = (result["val_losses"][-1] if metric in ("val_loss",)
+                 else result.get(metric))
+        runs.append({"point": point, "metric": metric, "value": float(value)})
+        print(f"[sweep {i}] {point} -> {metric}={value:.4f}")
+
+    best = min(runs, key=lambda r: sign * r["value"])
+    out = {"runs": runs, "best": best, "metric": metric, "goal": goal}
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+    return out

@@ -2,8 +2,13 @@
 
 Model init is a one-shot, bandwidth-trivial computation; compiling it for the
 TPU wastes minutes of XLA time (and is painfully slow behind a remote-compile
-tunnel). Run init on the host CPU backend and ``device_put`` the params — the
-accelerator only ever compiles the training step.
+tunnel). Run init **eagerly** (unjitted — no XLA compile at all) on the host
+CPU backend and ``device_put`` the params; the accelerator then only ever
+compiles the training step.
+
+Entry points should call :func:`ensure_cpu_backend` before any other jax use:
+changing ``jax_platforms`` after the first backend touch can wedge a remote
+platform plugin, so it must happen first.
 """
 
 from __future__ import annotations
@@ -13,24 +18,40 @@ from typing import Callable
 
 import jax
 
+_checked = False
 
-def _cpu_device():
+
+def ensure_cpu_backend() -> bool:
+    """Add 'cpu' to jax_platforms if the config still allows it. Call this
+    before any computation / jax.devices() in a process that wants host init.
+    Safe no-op if a CPU backend is already reachable."""
+    global _checked
+    _checked = True
     try:
-        return jax.devices("cpu")[0]
+        jax.devices("cpu")
+        return True
     except RuntimeError:
         pass
     try:
         cur = jax.config.jax_platforms
         if cur and "cpu" not in cur:
             jax.config.update("jax_platforms", cur + ",cpu")
+        jax.devices("cpu")
+        return True
+    except Exception:
+        return False
+
+
+def _cpu_device():
+    try:
         return jax.devices("cpu")[0]
     except Exception:
         return None
 
 
 def init_on_cpu(init_fn: Callable):
-    """Run ``init_fn()`` (e.g. a flax ``model.init`` closure) on the host CPU
-    backend when one is available; fall back to the default backend."""
+    """Run ``init_fn()`` (e.g. a flax ``model.init`` closure, UNJITTED) on the
+    host CPU backend when one is available; fall back to the default backend."""
     cpu = _cpu_device()
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with ctx:

@@ -198,3 +198,27 @@ class TestCheckpoint:
         assert int(restored.step) == int(state.step)
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMultiStep:
+    def test_multistep_matches_sequential(self):
+        from probunet_tpu.train import make_probunet_train_multistep
+        model = _tiny_model()
+        tx = make_optimizer(lr=1e-3)
+        state = _init_state(model, tx)
+        hr = _hr_data(seed=7)
+        stats = transforms.compute_lr_stats(hr, 4, "perpixel")
+        step = make_probunet_train_step(model, tx, 4, "perpixel", donate=False)
+        multi = make_probunet_train_multistep(model, tx, 4, "perpixel", donate=False)
+        idxs = jnp.stack([jnp.arange(8), jnp.arange(8, 16)])
+        rng = jax.random.key(9)
+        s_seq = state
+        seq_losses = []
+        for k in range(2):
+            s_seq, m = step(s_seq, hr, stats, idxs[k], rng)
+            seq_losses.append(float(m["train_loss"]))
+        s_multi, m_multi = multi(state, hr, stats, idxs, rng)
+        np.testing.assert_allclose(np.asarray(m_multi["train_loss"]),
+                                   np.asarray(seq_losses), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
