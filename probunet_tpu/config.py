@@ -76,6 +76,9 @@ class Config:
     # --- eval / sampling ---
     num_samples: int = 3            # ensemble members for sampling plots
     eval_seed: int = 1234           # seeded stochastic eval (reference eval samples the posterior)
+    eval_crps: bool = False         # ensemble CRPS eval in physical units after each epoch
+    crps_samples: int = 16          # ensemble size for CRPS (BASELINE config #3)
+    resume: str = ""                # checkpoint directory to resume from
 
     def __post_init__(self) -> None:
         if self.standardization not in ("none", "perpixel", "pertimestep", "minmax"):

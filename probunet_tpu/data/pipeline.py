@@ -1,0 +1,130 @@
+"""Host->device streaming pipeline (the dask-replacement prefetch path).
+
+The default training mode keeps the whole HR tensor in HBM (SURVEY.md: 100
+years of 64x64x3 is ~1.8 GB). For full-domain or 256x256 multi-variable runs
+that exceed HBM, this module streams batches: a background thread slices the
+host array and ``jax.device_put``s the *next* batch while the device computes
+the current one (double buffering), so the step never waits on PCIe/host.
+
+Also provides streaming computation of the per-pixel standardization
+statistics (one chunked device pass with sum/sum-of-squares accumulators), so
+stats never require the full tensor on device either.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probunet_tpu.data import transforms
+from probunet_tpu.ops.resample import avg_pool
+
+
+class DevicePrefetcher:
+    """Wrap a host iterator; keep ``buffer_size`` items device-put ahead."""
+
+    def __init__(self, host_iter: Iterator, buffer_size: int = 2, sharding=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+        self._sharding = sharding
+        self._thread = threading.Thread(target=self._worker, args=(host_iter,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, host_iter):
+        try:
+            for item in host_iter:
+                put = (lambda a: jax.device_put(a, self._sharding)) if self._sharding \
+                    else jax.device_put
+                self._q.put(jax.tree.map(put, item))
+        except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def stream_batches(
+    hr_np: np.ndarray,
+    batch_size: int,
+    epoch_seed: int,
+    stats_np: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    standardization: str = "perpixel",
+    shuffle: bool = True,
+    buffer_size: int = 2,
+    sharding=None,
+) -> Iterator[Dict]:
+    """Yield device-resident {hr, stats} batches, double-buffered.
+
+    For pertimestep/minmax, per-sample stats slices ride along with the batch;
+    for perpixel/none the global stats are passed through unsliced.
+    """
+    n = hr_np.shape[0]
+    order = (np.random.default_rng(epoch_seed).permutation(n) if shuffle
+             else np.arange(n))
+    nb = n // batch_size
+
+    def host_iter():
+        for b in range(nb):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            item = {"hr": hr_np[idx]}
+            if stats_np is not None and standardization in ("pertimestep", "minmax"):
+                item["stats"] = (stats_np[0][idx], stats_np[1][idx])
+            elif stats_np is not None:
+                item["stats"] = stats_np
+            yield item
+
+    return iter(DevicePrefetcher(host_iter(), buffer_size=buffer_size, sharding=sharding))
+
+
+def compute_lr_stats_streaming(
+    hr_np: np.ndarray,
+    lowres_scale: int,
+    standardization: str,
+    chunk: int = 512,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Chunked-device equivalent of transforms.compute_lr_stats for host-
+    resident datasets. Matches the non-streaming result (unbiased std)."""
+    if standardization == "none":
+        return None
+    t = hr_np.shape[0]
+
+    if standardization == "perpixel":
+        pool = jax.jit(lambda x: avg_pool(x, lowres_scale))
+        s1 = s2 = None
+        for lo in range(0, t, chunk):
+            lr = pool(jnp.asarray(hr_np[lo:lo + chunk]))
+            lr64 = lr.astype(jnp.float64) if jax.config.jax_enable_x64 else lr.astype(jnp.float32)
+            c1 = np.asarray(lr64.sum(axis=0))
+            c2 = np.asarray((lr64 * lr64).sum(axis=0))
+            s1 = c1 if s1 is None else s1 + c1
+            s2 = c2 if s2 is None else s2 + c2
+        mean = s1 / t
+        # unbiased variance (torch std default, climex_utils.py:174)
+        var = (s2 - t * mean * mean) / (t - 1)
+        std = np.sqrt(np.maximum(var, 0.0)).astype(np.float32)
+        mean = mean.astype(np.float32)
+        s = lowres_scale
+        mean_hr = np.repeat(np.repeat(mean, s, axis=0), s, axis=1)
+        std_hr = np.repeat(np.repeat(std, s, axis=0), s, axis=1)
+        return mean_hr, std_hr
+
+    # per-sample modes reduce within each sample — chunked trivially
+    parts0, parts1 = [], []
+    fn = jax.jit(lambda x: transforms.compute_lr_stats(x, lowres_scale, standardization),
+                 static_argnames=())
+    for lo in range(0, t, chunk):
+        a, b = fn(jnp.asarray(hr_np[lo:lo + chunk]))
+        parts0.append(np.asarray(a))
+        parts1.append(np.asarray(b))
+    return np.concatenate(parts0, axis=0), np.concatenate(parts1, axis=0)

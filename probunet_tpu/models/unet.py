@@ -70,7 +70,7 @@ class UNetBlock(nn.Module):
         return self.out_channels // self.channels_per_head
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
         orig = x
         # norm0 -> SiLU is a fused Pallas kernel on TPU (same params as GroupNorm)
         x = Conv2d(self.in_channels, self.out_channels, 3, up=self.up, down=self.down,
@@ -253,11 +253,19 @@ class UNet(nn.Module):
                                init=init_zero, name="map_augment")(augment_labels)
         emb = silu(emb)
 
+        block_cls = UNetBlock
+        if self.remat:
+            # Rematerialize each residual block on the backward pass: activations
+            # are recomputed instead of stored, trading ~1 extra forward for a
+            # large cut in HBM live memory (enables 256x256+ tiles).
+            # static_argnums: (self, x, emb, train) -> train at index 3.
+            block_cls = nn.remat(UNetBlock, static_argnums=(3,))
+
         def make_block(spec: BlockSpec, prefix: str):
             if spec.kind == "conv":
                 return Conv2d(spec.in_channels, spec.out_channels, 3, init=init,
                               name=f"{prefix}_{spec.name}")
-            blk = UNetBlock(spec.in_channels, spec.out_channels, up=spec.up, down=spec.down,
+            blk = block_cls(spec.in_channels, spec.out_channels, up=spec.up, down=spec.down,
                             attention=spec.attention, name=f"{prefix}_{spec.name}", **block_kw)
             return blk
 
@@ -268,14 +276,14 @@ class UNet(nn.Module):
             if spec.kind == "conv":
                 x = blk(x)
             else:
-                x = blk(x, emb, train=train)
+                x = blk(x, emb, train)
             skips.append(x)
 
         # ---- Decoder with static concat schedule (networks.py:326-331) ----
         for spec in dec_specs:
             if spec.concat_skip:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = make_block(spec, "dec")(x, emb, train=train)
+            x = make_block(spec, "dec")(x, emb, train)
 
         x = Conv2d(final_c, self.out_channels, 3, init=init_zero, name="out_conv")(
             GroupNormSiLU(final_c, name="out_norm")(x))

@@ -6,5 +6,6 @@ from probunet_tpu.train.steps import (  # noqa: F401
     make_deterministic_train_step,
     make_deterministic_eval_step,
     make_sample_fn,
+    make_crps_eval_fn,
     beta_schedule,
 )

@@ -91,7 +91,12 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
     model = build_probunet(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
-    state = put_replicated(init_probunet_state(cfg, model, tx), mesh)
+    state = init_probunet_state(cfg, model, tx)
+    if cfg.resume:
+        from probunet_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(cfg.resume, state)
+        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+    state = put_replicated(state, mesh)
 
     dtype = _compute_dtype(cfg)
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
@@ -107,15 +112,25 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     # else replicated; batch indices are sharded when batch % n_devices == 0.
     nd = mesh.devices.size
     def put_data(a):
-        if cfg.device_resident_data and nd > 1 and a.shape[0] % nd == 0:
+        if nd > 1 and a.shape[0] % nd == 0:
             return put_batch(a, mesh)
         return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    hr_train = put_data(ds_train.hr_device())
-    hr_val = put_data(ds_val.hr_device())
-    stats_train = put_replicated(ds_train.stats, mesh)
-    stats_val = put_replicated(ds_val.stats, mesh)
+    streaming = not cfg.device_resident_data
+    if streaming:
+        # Host-resident dataset; batches stream to HBM double-buffered.
+        from probunet_tpu.data.pipeline import compute_lr_stats_streaming
+        stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
+                                                    cfg.standardization)
+        hr_val = put_data(ds_val.hr_device())
+        stats_val = put_replicated(ds_val.stats, mesh)
+        hr_train = stats_train = None
+    else:
+        hr_train = put_data(ds_train.hr_device())
+        hr_val = put_data(ds_val.hr_device())
+        stats_train = put_replicated(ds_train.stats, mesh)
+        stats_val = put_replicated(ds_val.stats, mesh)
 
     os.makedirs(cfg.plotdir, exist_ok=True)
     logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
@@ -130,20 +145,36 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # ---- train: one fused XLA program per step, dispatched async (the
         # scanned-epoch variant exists but carrying 1.2 GB of opt state through
         # lax.scan costs more than per-step dispatch on this runtime) ----
-        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-        nb = batches.shape[0]
         running = []
         timer.reset()
-        for bi in progress(range(nb), desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
-            idx = put_idx(jnp.asarray(batches[bi]))
-            state, metrics = train_step(state, hr_train, stats_train, idx, rng)
-            step_count += 1
-            timer.tick(cfg.batch_size)
-            running.append(metrics["train_loss"])
-            if step_count % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["samples_per_sec"] = timer.rate()
-                logger.log(m, step=step_count)
+        if streaming:
+            from probunet_tpu.data.pipeline import stream_batches
+            nb = len(ds_train) // cfg.batch_size
+            it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
+                                stats_train_np, cfg.standardization)
+            arange = put_idx(jnp.arange(cfg.batch_size))
+            for item in progress(it, desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}", total=nb):
+                state, metrics = train_step(state, item["hr"], item.get("stats"), arange, rng)
+                step_count += 1
+                timer.tick(cfg.batch_size)
+                running.append(metrics["train_loss"])
+                if step_count % cfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["samples_per_sec"] = timer.rate()
+                    logger.log(m, step=step_count)
+        else:
+            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+            nb = batches.shape[0]
+            for bi in progress(range(nb), desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
+                idx = put_idx(jnp.asarray(batches[bi]))
+                state, metrics = train_step(state, hr_train, stats_train, idx, rng)
+                step_count += 1
+                timer.tick(cfg.batch_size)
+                running.append(metrics["train_loss"])
+                if step_count % cfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["samples_per_sec"] = timer.rate()
+                    logger.log(m, step=step_count)
         epoch_tr = float(jnp.mean(jnp.stack(running)))
         tr_losses.append(epoch_tr)
 
@@ -159,6 +190,22 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         val_losses.append(epoch_val)
         logger.log({"epoch": epoch, "epoch_train_loss": epoch_tr, "val_loss": epoch_val},
                    step=step_count)
+
+        # ---- optional ensemble CRPS in physical units (reference defines
+        # crps_empirical but never wires it; BASELINE config #3) ----
+        if cfg.eval_crps:
+            from probunet_tpu.train import make_crps_eval_fn
+            crps_fn = make_crps_eval_fn(model, cfg.lowres_scale, cfg.standardization,
+                                        cfg.variables, cfg.crps_samples, dtype)
+            acc = {}
+            for bi in range(min(vbatches.shape[0], 16)):
+                idx = put_idx(jnp.asarray(vbatches[bi]))
+                m = crps_fn(state.params, hr_val, stats_val, idx,
+                            jax.random.fold_in(eval_rng, 10_000 + bi))
+                for k, v in m.items():
+                    acc.setdefault(k, []).append(float(v))
+            crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
+            logger.log(crps_metrics, step=step_count)
 
         # ---- sample + plot every 2 epochs (reference main.py:125-134) ----
         if make_plots and epoch % 2 == 0:

@@ -174,6 +174,44 @@ def make_sample_fn(model, lowres_scale: int, standardization: str, num_samples: 
     return jax.jit(fn, static_argnames=())
 
 
+def make_crps_eval_fn(model, lowres_scale: int, standardization: str,
+                      variables: Tuple[str, ...], num_samples: int = 16,
+                      compute_dtype=jnp.float32):
+    """Ensemble CRPS evaluation in physical units (the capability the
+    reference defines but never wires in, trainmodel.py:66-117): K vmapped
+    prior draws -> residual->HR inverse -> per-variable mean CRPS (mm/day /
+    deg C) plus the ensemble-mean MAE."""
+    from probunet_tpu.ops.crps import crps_empirical
+
+    def to_physical(field, var):
+        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
+
+    def fn(params, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        preds = model.apply({"params": params}, x, num_samples,
+                            rngs={"latent": rng}, method=model.sample)
+        preds = preds.astype(jnp.float32)
+        if sl is not None and standardization != "perpixel":
+            sl_k = (sl[0][:, None], sl[1][:, None])
+        else:
+            sl_k = sl
+        hr_preds = transforms.residual_to_hr(
+            preds, pair["lrinterp"][:, None], standardization, sl_k)  # (B, K, H, W, C)
+        ens = jnp.swapaxes(hr_preds, 0, 1)                            # (K, B, H, W, C)
+        out = {}
+        for i, var in enumerate(variables):
+            p = to_physical(ens[..., i], var)
+            t = to_physical(hr[..., i], var)
+            out[f"crps_{var}"] = crps_empirical(p, t).mean()
+            out[f"ensmean_mae_{var}"] = jnp.abs(p.mean(axis=0) - t).mean()
+        return out
+
+    return jax.jit(fn)
+
+
 def make_deterministic_train_step(
     model,
     tx,

@@ -1,0 +1,108 @@
+"""Streaming data-pipeline tests + resume + CRPS eval wiring."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probunet_tpu.config import Config
+from probunet_tpu.data import transforms
+from probunet_tpu.data.pipeline import (
+    DevicePrefetcher,
+    compute_lr_stats_streaming,
+    stream_batches,
+)
+from probunet_tpu.data.synthetic import generate_climex_like
+from probunet_tpu.train.loop import train_probunet
+
+
+def _hr(t=40, hw=16, c=3, seed=0):
+    return (np.random.default_rng(seed).standard_normal((t, hw, hw, c)) + 4).astype(np.float32)
+
+
+class TestStreamingStats:
+    @pytest.mark.parametrize("mode", ["perpixel", "pertimestep", "minmax"])
+    def test_matches_device_stats(self, mode):
+        hr = _hr()
+        ref = transforms.compute_lr_stats(jnp.asarray(hr), 4, mode)
+        got = compute_lr_stats_streaming(hr, 4, mode, chunk=7)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-4, atol=1e-5)
+
+    def test_none_mode(self):
+        assert compute_lr_stats_streaming(_hr(), 4, "none") is None
+
+
+class TestPrefetcher:
+    def test_order_and_completion(self):
+        items = [{"a": np.full((4,), i, np.float32)} for i in range(10)]
+        out = list(DevicePrefetcher(iter(items), buffer_size=3))
+        assert len(out) == 10
+        for i, item in enumerate(out):
+            assert float(item["a"][0]) == i
+            assert isinstance(item["a"], jax.Array)
+
+    def test_error_propagation(self):
+        def bad():
+            yield {"a": np.zeros(2)}
+            raise RuntimeError("boom")
+        it = iter(DevicePrefetcher(bad()))
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
+
+    def test_stream_batches_covers_epoch(self):
+        hr = _hr(t=24)
+        stats = compute_lr_stats_streaming(hr, 4, "minmax")
+        seen = []
+        for item in stream_batches(hr, 6, epoch_seed=1, stats_np=stats,
+                                   standardization="minmax"):
+            assert item["hr"].shape == (6, 16, 16, 3)
+            assert item["stats"][0].shape == (6, 1, 1, 3)
+            seen.append(np.asarray(item["hr"]))
+        assert len(seen) == 4
+        # shuffled but a complete cover of the epoch
+        all_rows = np.concatenate(seen).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(np.sort(all_rows), np.sort(hr.sum(axis=(1, 2, 3))),
+                                   rtol=1e-4)
+
+
+class TestLoopExtras:
+    @pytest.fixture(scope="class")
+    def datadir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("climex_extras")
+        generate_climex_like(str(d), years=(2000, 2001, 2002), grid=16, days_per_year=16)
+        return str(d)
+
+    def _cfg(self, datadir, tmp_path, **kw):
+        base = dict(
+            datadir=datadir, years_train=(2000, 2001), years_val=(2001, 2002),
+            years_test=(2002, 2003), coords=(0, 16, 0, 16), resolution=(16, 16),
+            lowres_scale=2, batch_size=4, num_epochs=1, log_every=2,
+            latent_dim=4, num_filters=(8,), model_channels=8, channel_mult=(1, 2),
+            num_blocks=1, attn_resolutions=(8,),
+            plotdir=os.path.join(str(tmp_path), "plots"),
+            checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
+        base.update(kw)
+        return Config(**base)
+
+    def test_streaming_mode_e2e(self, datadir, tmp_path):
+        cfg = self._cfg(datadir, tmp_path, device_resident_data=False)
+        res = train_probunet(cfg, make_plots=False)
+        assert np.isfinite(res["tr_losses"]).all()
+
+    def test_crps_eval_and_resume(self, datadir, tmp_path):
+        cfg = self._cfg(datadir, tmp_path, eval_crps=True, crps_samples=4)
+        res = train_probunet(cfg, make_plots=False)
+        steps_done = int(res["state"].step)
+        assert steps_done > 0
+        # metrics file contains CRPS entries
+        import json
+        recs = [json.loads(l) for l in open(os.path.join(cfg.plotdir, "metrics.jsonl"))]
+        assert any("crps_pr" in r for r in recs)
+        # resume continues the step counter
+        cfg2 = self._cfg(datadir, tmp_path, resume=os.path.join(cfg.checkpoints_dir, "probunet"))
+        res2 = train_probunet(cfg2, make_plots=False)
+        assert int(res2["state"].step) == 2 * steps_done
