@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark: Probabilistic U-Net fused training-step throughput.
+"""Headline benchmark: Probabilistic U-Net fused training-step throughput at
+128x128 tiles (the BASELINE.json metric: "training steps/sec/chip ... at
+128x128 tiles", north star >=20x PyTorch-CPU per chip).
 
-Runs the flagship configuration of the reference's recorded run
-(BASELINE.md: prob-U-Net, 64x64 tiles, 3 variables, batch 8, latent_dim 6,
-num_filters [64,128,256,512], perpixel standardization, AdamW) as this
-framework's single-XLA-program train step on one chip, and reports samples/sec
-against the reference's recorded 13.18 it/s * 8 = 105.4 samples/s
-(notebooks/test_prob_unet.ipynb cell 1).
+Baseline: the reference's own ProbabilisticUNet.elbo + AdamW step measured on
+torch-CPU in this environment at the same config = 0.0427 samples/s
+(see BASELINE_MEASURED.md). The reference's recorded 64x64 notebook run
+(105.4 samples/s, unknown device) is reported to stderr for context.
 
 Prints ONE JSON line to stdout. Diagnostics go to stderr.
 """
@@ -18,7 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_SAMPLES_PER_SEC = 13.185 * 8  # BASELINE.md training throughput
+TORCH_CPU_128_SAMPLES_PER_SEC = 0.0427   # measured, BASELINE_MEASURED.md
+RECORDED_64_SAMPLES_PER_SEC = 13.185 * 8  # reference notebook, BASELINE.md
 
 
 def log(*a):
@@ -30,9 +31,8 @@ def main():
 
     from probunet_tpu.utils.hostinit import ensure_cpu_backend
 
-    ensure_cpu_backend()  # must run before any backend use (host-side init)
+    ensure_cpu_backend()  # must run before any backend use
 
-    # Persistent compilation cache: repeat bench/driver runs skip XLA compiles.
     cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_probunet"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -43,24 +43,23 @@ def main():
 
     from probunet_tpu.data import transforms
     from probunet_tpu.models import ProbabilisticUNet
-    from probunet_tpu.train import (
-        create_train_state,
-        make_probunet_train_multistep,
-        make_probunet_train_step,
-    )
+    from probunet_tpu.train import create_train_state, make_probunet_train_step
     from probunet_tpu.train.state import make_optimizer
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    res = int(os.environ.get("BENCH_RES", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     compute_dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     log(f"devices: {jax.devices()}")
     model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
-                              num_filters=(64, 128, 256, 512))
+                              num_filters=(64, 128, 256, 512),
+                              img_resolution=(res, res))
     tx = make_optimizer(lr=1e-3)
-    x0 = jnp.zeros((1, 64, 64, 3))
+    x0 = jnp.zeros((1, res, res, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
             "dropout": jax.random.key(2)}
+
     t0 = time.perf_counter()
     # Throughput is weight-value independent: materialize the param tree from
     # shapes only (real training uses probunet_tpu.utils.hostinit.init_on_cpu).
@@ -75,10 +74,10 @@ def main():
     log(f"init: {time.perf_counter() - t0:.1f}s, "
         f"params={sum(p.size for p in jax.tree.leaves(state.params)):,}")
 
-    # Synthetic device-resident dataset (same shapes as the recorded run).
-    t = 512
-    rng_np = np.random.default_rng(0)
-    hr = jnp.asarray(rng_np.standard_normal((t, 64, 64, 3)).astype(np.float32) + 2.0)
+    # Synthetic device-resident dataset (shape-identical to the real pipeline).
+    t = 256
+    hr = jnp.asarray(np.random.default_rng(1).standard_normal((t, res, res, 3))
+                     .astype(np.float32) + 2.0)
     stats = transforms.compute_lr_stats(hr, 4, "perpixel")
 
     step = make_probunet_train_step(model, tx, 4, "perpixel",
@@ -104,13 +103,17 @@ def main():
     steps_per_sec = steps / dt
     samples_per_sec = steps_per_sec * batch
     log(f"{steps} steps in {dt:.2f}s -> {steps_per_sec:.2f} steps/s, "
-        f"{samples_per_sec:.1f} samples/s (loss={float(metrics["train_loss"]):.2f})")
+        f"{samples_per_sec:.1f} samples/s at {res}x{res} b{batch} "
+        f"(loss={float(metrics['train_loss']):.2f})")
+    log(f"vs measured torch-CPU @128x128 (0.0427 samples/s): "
+        f"{samples_per_sec / TORCH_CPU_128_SAMPLES_PER_SEC:.0f}x")
+    log(f"context: reference recorded 64x64 run = {RECORDED_64_SAMPLES_PER_SEC:.1f} samples/s")
 
     print(json.dumps({
-        "metric": "probunet_train_samples_per_sec_64x64_b8",
+        "metric": f"probunet_train_samples_per_sec_{res}x{res}_b{batch}",
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec",
-        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+        "vs_baseline": round(samples_per_sec / TORCH_CPU_128_SAMPLES_PER_SEC, 1),
     }))
 
 

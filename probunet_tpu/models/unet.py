@@ -134,6 +134,7 @@ def build_unet_plan(
     channel_mult: Sequence[int],
     num_blocks: int,
     attn_resolutions: Sequence[int],
+    bottleneck_attention: bool = True,
 ) -> Tuple[List[BlockSpec], List[BlockSpec], int]:
     """Precompute the full encoder/decoder topology, replicating the reference
     constructor's channel bookkeeping (networks.py:258-298) including the
@@ -163,7 +164,8 @@ def build_unet_plan(
         resx = img_resolution[0] >> level
         resy = img_resolution[1] >> level
         if level == len(channel_mult) - 1:
-            dec.append(BlockSpec(f"{resx}x{resy}_in0", "block", cout, cout, attention=True))
+            dec.append(BlockSpec(f"{resx}x{resy}_in0", "block", cout, cout,
+                                 attention=bottleneck_attention))
             dec.append(BlockSpec(f"{resx}x{resy}_in1", "block", cout, cout))
         else:
             dec.append(BlockSpec(f"{resx}x{resy}_up", "block", cout, cout, up=True))
@@ -198,6 +200,9 @@ class UNet(nn.Module):
     dropout: float = 0.10
     label_dropout: float = 0.0
     use_diffuse: bool = True
+    # networks.py:284-285 always enables attention in the bottleneck in0 block;
+    # baseline/deterministic_unet.py:283-284 disables it — hence the knob.
+    bottleneck_attention: bool = True
     remat: bool = False  # jax.checkpoint each block (memory/recompute trade)
 
     @property
@@ -206,7 +211,8 @@ class UNet(nn.Module):
 
     def plan(self):
         return build_unet_plan(self.img_resolution, self.in_channels, self.model_channels,
-                               self.channel_mult, self.num_blocks, self.attn_resolutions)
+                               self.channel_mult, self.num_blocks, self.attn_resolutions,
+                               self.bottleneck_attention)
 
     @nn.compact
     def __call__(

@@ -248,7 +248,7 @@ def build_baseline_model(cfg: Config):
                     out_channels=cfg.nvars, label_dim=0, use_diffuse=False,
                     model_channels=width, channel_mult=tuple(cfg.channel_mult),
                     num_blocks=cfg.num_blocks, attn_resolutions=(),
-                    dropout=cfg.dropout)
+                    bottleneck_attention=False, dropout=cfg.dropout)
     if cfg.ds_model == "linearcnn":
         return LinearCNN(resolution=tuple(cfg.resolution), in_channels=cfg.nvars,
                          ds_factor=cfg.lowres_scale)

@@ -133,18 +133,33 @@ class TestTorchParity:
         import prob_unet as ref_pu
         return torch, networks, ref_pu
 
-    def test_unet_param_count_and_forward(self, torch_mods):
+    def test_unet_full_size_param_count(self, torch_mods):
+        """Exact param-count parity at the flagship config, via eval_shape
+        (no compute -- keeps the suite fast)."""
         torch, networks, _ = torch_mods
-        torch.manual_seed(0)
+        with torch.device("meta"):
+            pass  # torch >=2 supports meta, but plain construction is fast enough
         tm = networks.UNet(img_resolution=(64, 64), in_channels=3, out_channels=64,
-                           label_dim=0, use_diffuse=False).eval()
+                           label_dim=0, use_diffuse=False)
         t_count = sum(p.numel() for p in tm.parameters())
-
         m = UNet(img_resolution=(64, 64), in_channels=3, out_channels=64,
                  label_dim=0, use_diffuse=False)
-        x_np = np.random.default_rng(3).standard_normal((2, 64, 64, 3)).astype(np.float32)
+        va = jax.eval_shape(lambda: m.init(_init_rngs(), jnp.zeros((1, 64, 64, 3))))
+        assert sum(int(np.prod(s.shape)) for s in jax.tree.leaves(va["params"])) == t_count
+
+    def test_unet_forward_transplant_parity(self, torch_mods):
+        """Transplanted-weights forward parity (reduced width; same topology,
+        attention at two levels, identical math as the flagship)."""
+        torch, networks, _ = torch_mods
+        torch.manual_seed(0)
+        kw = dict(img_resolution=(32, 32), in_channels=3, out_channels=8,
+                  label_dim=0, use_diffuse=False, model_channels=64,
+                  channel_mult=[1, 2], num_blocks=1, attn_resolutions=[16, 8])
+        tm = networks.UNet(**kw).eval()
+        m = UNet(**{**kw, "channel_mult": (1, 2), "attn_resolutions": (16, 8)})
+        x_np = np.random.default_rng(3).standard_normal((2, 32, 32, 3)).astype(np.float32)
         v = m.init(_init_rngs(), jnp.asarray(x_np))
-        assert _count(v["params"]) == t_count
+        assert _count(v["params"]) == sum(p.numel() for p in tm.parameters())
 
         state = {k: v_.detach().numpy() for k, v_ in tm.state_dict().items()}
         params = torch_unet_to_flax(state)
@@ -155,7 +170,7 @@ class TestTorchParity:
             theirs = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
 
-    def test_probunet_components_parity(self, torch_mods):
+    def test_probunet_param_count_and_gaussians(self, torch_mods):
         torch, _, ref_pu = torch_mods
         torch.manual_seed(1)
         tm = ref_pu.ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
@@ -164,19 +179,20 @@ class TestTorchParity:
         m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6)
         x_np = np.random.default_rng(4).standard_normal((2, 64, 64, 3)).astype(np.float32)
         t_np = np.random.default_rng(5).standard_normal((2, 64, 64, 3)).astype(np.float32)
-        z_np = np.random.default_rng(6).standard_normal((2, 6)).astype(np.float32)
 
-        v = m.init(_init_rngs(), jnp.asarray(x_np), jnp.asarray(t_np), method=m.elbo)
-        assert _count(v["params"]) == t_count
+        va = jax.eval_shape(lambda: m.init(_init_rngs(), jnp.zeros((1, 64, 64, 3)),
+                                           jnp.zeros((1, 64, 64, 3)), method=m.elbo))
+        assert sum(int(np.prod(s.shape)) for s in jax.tree.leaves(va["params"])) == t_count
 
         params = torch_probunet_to_flax({k: p.detach().numpy() for k, p in tm.state_dict().items()})
-        assert_tree_shapes_match(params, v["params"])
+        assert_tree_shapes_match(params, jax.tree.map(lambda s: np.zeros(s.shape), va["params"]))
         variables = {"params": params}
 
         xt = torch.from_numpy(x_np).permute(0, 3, 1, 2)
         tt = torch.from_numpy(t_np).permute(0, 3, 1, 2)
 
-        # prior / posterior distribution parameters
+        # prior / posterior distribution parameters (runs only the small
+        # Gaussian encoders -- the unet params in the tree stay untouched)
         prior, posterior = m.apply(variables, jnp.asarray(x_np), jnp.asarray(t_np),
                                    method=m.latent_dists)
         with torch.no_grad():
@@ -189,10 +205,89 @@ class TestTorchParity:
         np.testing.assert_allclose(np.asarray(jnp.exp(prior.log_sigma)),
                                    t_prior.base_dist.scale.numpy(), rtol=1e-4, atol=1e-5)
 
-        # deterministic decode with a fixed z == torch unet+fcomb with same z
-        ours = np.asarray(m.apply(variables, jnp.asarray(x_np), jnp.asarray(z_np),
-                                  method=m.reconstruct))
+        # fcomb parity on shared random features
+        f_np = np.random.default_rng(7).standard_normal((2, 16, 16, 64)).astype(np.float32)
+        z_np = np.random.default_rng(6).standard_normal((2, 6)).astype(np.float32)
+        ours = np.asarray(m.apply(variables, jnp.asarray(f_np), jnp.asarray(z_np),
+                                  method=lambda mdl, f, z: mdl.fcomb(f, z)))
+        with torch.no_grad():
+            theirs = tm.fcomb(torch.from_numpy(f_np).permute(0, 3, 1, 2),
+                              torch.from_numpy(z_np)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+@needs_reference
+class TestElboParity:
+    """Full ELBO parity with the torch reference given the same posterior draw
+    (the deterministic part of the BASELINE 'bit-comparable ELBO curves'
+    requirement; sampling parity is covered by distribution-parameter parity)."""
+
+    def test_elbo_with_z_matches_torch(self):
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch
+        import prob_unet as ref_pu
+        torch.manual_seed(7)
+        tm = ref_pu.ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                                      num_filters=[64, 128, 256, 512]).eval()
+        m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6)
+        params = torch_probunet_to_flax({k: p.detach().numpy()
+                                         for k, p in tm.state_dict().items()})
+        rng = np.random.default_rng(11)
+        x_np = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        t_np = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        z_np = rng.standard_normal((2, 6)).astype(np.float32)
+
+        apply = jax.jit(lambda p, x, t, z: m.apply({"params": p}, x, t, z,
+                                                   method=m.elbo_with_z))
+        total, recon, kl = apply(params, jnp.asarray(x_np), jnp.asarray(t_np),
+                                 jnp.asarray(z_np))
+
+        xt = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+        tt = torch.from_numpy(t_np).permute(0, 3, 1, 2)
         with torch.no_grad():
             feats = tm.unet(xt)
-            theirs = tm.fcomb(feats, torch.from_numpy(z_np)).permute(0, 2, 3, 1).numpy()
+            prior = tm.prior(xt)
+            post = tm.posterior(xt, tt)
+            out = tm.fcomb(feats, torch.from_numpy(z_np))
+            t_recon = torch.nn.MSELoss(reduction="sum")(out, tt)
+            t_kl = torch.distributions.kl.kl_divergence(post, prior).sum()
+            t_total = t_recon + 1.0 * t_kl
+        # sum-MSE over 49k elements: small per-element fp diffs accumulate
+        np.testing.assert_allclose(float(recon), float(t_recon), rtol=2e-3)
+        np.testing.assert_allclose(float(kl), float(t_kl), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(float(total), float(t_total), rtol=2e-3)
+
+    def test_deterministic_baseline_unet_parity(self):
+        """baseline/deterministic_unet.py: width 64, attention disabled."""
+        import importlib.util
+        import torch
+        spec = importlib.util.spec_from_file_location(
+            "det_unet", os.path.join(REFERENCE_DIR, "baseline", "deterministic_unet.py"))
+        det = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(det)
+        # full-size param-count parity via eval_shape (no compute)
+        tm_full = det.UNet(img_resolution=(64, 64), in_channels=3, out_channels=3,
+                           label_dim=0, use_diffuse=False)
+        m_full = UNet(img_resolution=(64, 64), in_channels=3, out_channels=3, label_dim=0,
+                      use_diffuse=False, model_channels=64, attn_resolutions=(),
+                      bottleneck_attention=False)
+        va = jax.eval_shape(lambda: m_full.init(_init_rngs(), jnp.zeros((1, 64, 64, 3))))
+        assert (sum(int(np.prod(s.shape)) for s in jax.tree.leaves(va["params"]))
+                == sum(p.numel() for p in tm_full.parameters()))
+
+        # forward transplant parity at reduced width (same no-attention topology)
+        torch.manual_seed(8)
+        kw = dict(img_resolution=(32, 32), in_channels=3, out_channels=3, label_dim=0,
+                  use_diffuse=False, model_channels=32, channel_mult=[1, 2], num_blocks=1)
+        tm = det.UNet(**kw).eval()
+        m = UNet(**{**kw, "channel_mult": (1, 2)}, attn_resolutions=(),
+                 bottleneck_attention=False)
+        x_np = np.random.default_rng(12).standard_normal((2, 32, 32, 3)).astype(np.float32)
+        v = m.init(_init_rngs(), jnp.asarray(x_np))
+        assert _count(v["params"]) == sum(p.numel() for p in tm.parameters())
+
+        params = torch_unet_to_flax({k: p.detach().numpy() for k, p in tm.state_dict().items()})
+        ours = np.asarray(m.apply({"params": params}, jnp.asarray(x_np)))
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
