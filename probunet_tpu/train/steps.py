@@ -19,6 +19,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from probunet_tpu.data import transforms
 from probunet_tpu.data.units import k_to_c, kgm2s_to_mmday
@@ -73,7 +74,8 @@ def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
-        metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta}
+        metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta,
+                   "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
     return step

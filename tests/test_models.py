@@ -291,3 +291,72 @@ class TestElboParity:
         with torch.no_grad():
             theirs = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
+
+
+@needs_reference
+class TestGradientParity:
+    """Training-dynamics parity: gradients of the ELBO (fixed z) through the
+    transplanted reference weights must match torch autograd."""
+
+    def test_elbo_gradients_match_torch(self):
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch
+        import prob_unet as ref_pu
+        torch.manual_seed(21)
+        tm = ref_pu.ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                                      num_filters=[64, 128, 256, 512]).eval()
+        m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6)
+        params = torch_probunet_to_flax({k: p.detach().numpy()
+                                         for k, p in tm.state_dict().items()})
+        rng = np.random.default_rng(13)
+        x_np = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        t_np = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        z_np = rng.standard_normal((2, 6)).astype(np.float32)
+
+        def loss(p):
+            total, _, _ = m.apply({"params": p}, jnp.asarray(x_np), jnp.asarray(t_np),
+                                  jnp.asarray(z_np), method=m.elbo_with_z)
+            return total
+
+        grads = jax.jit(jax.grad(loss))(params)
+
+        xt = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+        tt = torch.from_numpy(t_np).permute(0, 3, 1, 2)
+        feats = tm.unet(xt)
+        prior = tm.prior(xt)
+        post = tm.posterior(xt, tt)
+        out = tm.fcomb(feats, torch.from_numpy(z_np))
+        recon = torch.nn.MSELoss(reduction="sum")(out, tt)
+        kl = torch.distributions.kl.kl_divergence(post, prior).sum()
+        (recon + kl).backward()
+        tgrads = {k: p.grad for k, p in tm.named_parameters() if p.grad is not None}
+
+        def check(tkey, jpath, transpose):
+            tg = tgrads[tkey].numpy()
+            jg = grads
+            for part in jpath.split("/"):
+                jg = jg[part]
+            jg = np.asarray(jg)
+            if transpose == "conv":
+                jg = np.transpose(jg, (3, 2, 0, 1))   # HWIO -> OIHW
+            elif transpose == "linear":
+                jg = jg.T
+            denom = max(np.abs(tg).max(), 1e-8)
+            np.testing.assert_allclose(jg / denom, tg / denom, rtol=5e-3, atol=5e-4,
+                                       err_msg=f"{tkey} vs {jpath}")
+
+        # spot-check gradients across all four sub-networks and layer types
+        check("fcomb.layers.4.weight", "fcomb/layer2/weight", "conv")
+        check("fcomb.layers.0.bias", "fcomb/layer0/bias", None)
+        check("prior.conv_mu.weight", "prior/conv_mu/weight", "conv")
+        check("posterior.encoder.0.weight", "posterior/enc_0/weight", "conv")
+        check("unet.out_norm.weight", "unet/out_norm/weight", None)
+        check("unet.enc.64x64_conv.weight", "unet/enc_64x64_conv/weight", "conv")
+        check("unet.dec.8x8_in0.qkv.weight", "unet/dec_8x8_in0/qkv/weight", "conv")
+        check("unet.enc.32x32_block0.affine.weight", "unet/enc_32x32_block0/affine/weight",
+              "linear")
+        # and the total gradient magnitude
+        tnorm = float(np.sqrt(sum(float((g ** 2).sum()) for g in tgrads.values())))
+        jnorm = float(np.sqrt(sum(float((np.asarray(g) ** 2).sum())
+                                  for g in jax.tree.leaves(grads))))
+        np.testing.assert_allclose(jnorm, tnorm, rtol=2e-3)
