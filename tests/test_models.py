@@ -360,3 +360,78 @@ class TestGradientParity:
         jnorm = float(np.sqrt(sum(float((np.asarray(g) ** 2).sum())
                                   for g in jax.tree.leaves(grads))))
         np.testing.assert_allclose(jnorm, tnorm, rtol=2e-3)
+
+
+@needs_reference
+class TestTraceParity:
+    """Per-step ELBO trace parity (BASELINE: 'bit-comparable ELBO curves'):
+    starting from transplanted weights, N AdamW steps with shared latents
+    produce the same loss trajectory in torch and here."""
+
+    def test_five_step_adamw_trace(self):
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch
+        import prob_unet as ref_pu
+        from probunet_tpu.train.state import make_optimizer
+        from probunet_tpu.train import create_train_state
+
+        torch.manual_seed(31)
+        tm = ref_pu.ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
+                                      num_filters=[64, 128, 256, 512]).eval()
+        m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6)
+        params = torch_probunet_to_flax({k: p.detach().numpy()
+                                         for k, p in tm.state_dict().items()})
+        rng = np.random.default_rng(17)
+        steps = 5
+        xs = rng.standard_normal((steps, 1, 64, 64, 3)).astype(np.float32)
+        ts = rng.standard_normal((steps, 1, 64, 64, 3)).astype(np.float32)
+        zs = rng.standard_normal((steps, 1, 6)).astype(np.float32)
+        lr, wd = 1e-3, 0.01
+
+        # ---- jax side ----
+        tx = make_optimizer(lr=lr, weight_decay=wd)
+        state = create_train_state(params, tx)
+
+        @jax.jit
+        def step(state, x, t, z):
+            def loss_fn(p):
+                total, recon, kl = m.apply({"params": p}, x, t, z, method=m.elbo_with_z)
+                return total, (recon, kl)
+            (total, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            import optax
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state._replace(params=new_params, opt_state=opt_state,
+                                  step=state.step + 1), (total, recon, kl)
+
+        jax_trace = []
+        for k in range(steps):
+            state, (total, recon, kl) = step(state, jnp.asarray(xs[k]), jnp.asarray(ts[k]),
+                                             jnp.asarray(zs[k]))
+            jax_trace.append((float(total), float(recon), float(kl)))
+
+        # ---- torch side (manual elbo with the same z; AdamW identical cfg) ----
+        opt = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=wd)
+        torch_trace = []
+        for k in range(steps):
+            opt.zero_grad()
+            xt = torch.from_numpy(xs[k]).permute(0, 3, 1, 2)
+            tt = torch.from_numpy(ts[k]).permute(0, 3, 1, 2)
+            feats = tm.unet(xt)
+            prior = tm.prior(xt)
+            post = tm.posterior(xt, tt)
+            out = tm.fcomb(feats, torch.from_numpy(zs[k]))
+            recon = torch.nn.MSELoss(reduction="sum")(out, tt)
+            kl = torch.distributions.kl.kl_divergence(post, prior).sum()
+            total = recon + kl
+            total.backward()
+            opt.step()
+            torch_trace.append((float(total), float(recon), float(kl)))
+
+        for k in range(steps):
+            # fp error accumulates across optimizer steps; the curves must
+            # stay within a fraction of a percent of each other
+            np.testing.assert_allclose(jax_trace[k][0], torch_trace[k][0], rtol=5e-3,
+                                       err_msg=f"total ELBO diverged at step {k}")
+            np.testing.assert_allclose(jax_trace[k][2], torch_trace[k][2], rtol=2e-2,
+                                       atol=1e-3, err_msg=f"KL diverged at step {k}")

@@ -222,3 +222,27 @@ class TestMultiStep:
                                    np.asarray(seq_losses), rtol=1e-5)
         for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+class TestBF16:
+    def test_bf16_training_converges(self):
+        """bf16 compute / fp32 params+loss: ELBO decreases like fp32 training."""
+        model = _tiny_model()
+        tx = make_optimizer(lr=3e-3)
+        state = _init_state(model, tx)
+        hr = _hr_data(seed=8)
+        stats = transforms.compute_lr_stats(hr, 4, "perpixel")
+        step = make_probunet_train_step(model, tx, 4, "perpixel",
+                                        compute_dtype=jnp.bfloat16, donate=False)
+        idx = jnp.arange(8)
+        rng = jax.random.key(12)
+        first = None
+        for _ in range(60):
+            state, metrics = step(state, hr, stats, idx, rng)
+            if first is None:
+                first = float(metrics["train_loss"])
+        last = float(metrics["train_loss"])
+        assert np.isfinite(last)
+        assert last < first * 0.7, f"bf16 ELBO should drop: {first} -> {last}"
+        # params must stay fp32
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
