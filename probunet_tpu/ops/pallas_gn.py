@@ -113,8 +113,16 @@ def _fits_vmem(shape, dtype) -> bool:
     return per_item <= _VMEM_BUDGET
 
 
-def _on_tpu() -> bool:
+def _on_tpu(x=None) -> bool:
+    """True only when this computation will actually run on a TPU: honors a
+    jax.default_device(cpu) context (host-side eager init) and concrete
+    array placement, not just the process-default backend."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", "") == "tpu"
+        if x is not None and isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+            return next(iter(x.devices())).platform == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
@@ -134,7 +142,7 @@ def _gn_silu_fwd_impl(x, weight, bias, groups, eps, force):
         force = "xla"
     use_pallas = (
         force in ("pallas", "interpret")
-        or (force == "auto" and HAS_PALLAS and _on_tpu() and _fits_vmem(x.shape, x.dtype))
+        or (force == "auto" and HAS_PALLAS and _on_tpu(x) and _fits_vmem(x.shape, x.dtype))
     )
     if use_pallas and HAS_PALLAS:
         return _forward_pallas(x, weight, bias, groups, eps,

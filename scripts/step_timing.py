@@ -27,7 +27,8 @@ from probunet_tpu.train.state import make_optimizer
 
 def time_step(batch=8, res=64, dtype="bf16", steps=30, scale=4):
     model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
-                              num_filters=(64, 128, 256, 512), img_resolution=(res, res))
+                              num_filters=(64, 128, 256, 512), img_resolution=(res, res),
+                              remat=os.environ.get("REMAT", "0") == "1")
     tx = make_optimizer(lr=1e-3)
     x0 = jnp.zeros((1, res, res, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
@@ -35,7 +36,7 @@ def time_step(batch=8, res=64, dtype="bf16", steps=30, scale=4):
     va = jax.eval_shape(lambda: model.init(rngs, x0, x0, method=model.elbo))
     params = jax.tree.map(lambda s: (jnp.zeros(s.shape, s.dtype) + 0.01), va)["params"]
     state = create_train_state(params, tx)
-    t = max(64, batch)
+    t = max(int(os.environ.get("T", "64")), batch)
     hr = jnp.asarray(np.random.default_rng(0).standard_normal((t, res, res, 3)), jnp.float32)
     stats = transforms.compute_lr_stats(hr, scale, "perpixel")
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
