@@ -109,6 +109,19 @@ def main():
         f"{samples_per_sec / TORCH_CPU_128_SAMPLES_PER_SEC:.0f}x")
     log(f"context: reference recorded 64x64 run = {RECORDED_64_SAMPLES_PER_SEC:.1f} samples/s")
 
+    # secondary: 16-draw ensemble inference (BASELINE config #3), stderr only
+    from probunet_tpu.train import make_sample_fn
+    sample_fn = make_sample_fn(model, 4, "perpixel", 16, compute_dtype)
+    hp, _ = sample_fn(state.params, hr, stats, idx0, rng)
+    jax.block_until_ready(hp)
+    t0 = time.perf_counter()
+    for i in range(20):
+        hp, _ = sample_fn(state.params, hr, stats, (idx0 + i * batch) % t, rng)
+    jax.block_until_ready(hp)
+    inf_dt = (time.perf_counter() - t0) / 20
+    log(f"inference (16-draw ensembles): {batch / inf_dt:.1f} inputs/s = "
+        f"{16 * batch / inf_dt:.0f} ensemble members/s at {res}x{res}")
+
     print(json.dumps({
         "metric": f"probunet_train_samples_per_sec_{res}x{res}_b{batch}",
         "value": round(samples_per_sec, 2),
