@@ -1,0 +1,229 @@
+"""Spatially-sharded Probabilistic U-Net forward (H-axis model parallelism).
+
+Runs the *same parameters* produced by ``models.UNet`` / ``ProbabilisticUNet``
+with the height dimension sharded across the mesh: convolutions exchange
+1-row halos over ICI, GroupNorm statistics are psum'd, resampling is local,
+and self-attention (which lives at coarse <=32x32 resolutions) all-gathers the
+small feature map, computes locally and slices its shard back. This is how
+tiles beyond one chip's HBM (full-domain 280x280+, BASELINE config #4 and
+beyond) are served/evaluated without changing a single weight.
+
+Implemented as pure functions over the flax param pytree (no module
+re-definition), driven by the same static :func:`build_unet_plan`, and
+verified equal to the unsharded forward in tests/test_spatial_unet.py.
+
+Supports the downscaling configuration (use_diffuse=False, label_dim=0, where
+the embedding is silu(0)=0 and each block's adaptive scale/shift reduces to
+the affine bias — reference networks.py:303,319) in deterministic mode
+(dropout off), i.e. inference/eval; training still uses the data-parallel
+fused step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from probunet_tpu.models.layers import attention_weights
+from probunet_tpu.models.unet import build_unet_plan
+from probunet_tpu.ops.norm import num_groups_for
+from probunet_tpu.parallel.spatial import (
+    halo_exchange_rows,
+    local_rows,
+    spatial_attention,
+    spatial_avg_pool,
+    spatial_nearest_up_2x,
+)
+
+
+def _conv(p: Dict, x: jax.Array, axis_name: str, padding: int = 1) -> jax.Array:
+    """SAME conv from a flax Conv2d param dict; 3x3 uses halo exchange, 1x1 is local."""
+    w = p["weight"].astype(x.dtype)
+    k = w.shape[0]
+    if k == 1:
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        xp = halo_exchange_rows(x, axis_name, halo=k // 2)
+        out = jax.lax.conv_general_dilated(
+            xp, w, (1, 1), [(0, 0), (k // 2, k // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype).reshape(1, 1, 1, -1)
+    return out
+
+
+def _gn(p: Dict, x: jax.Array, axis_name: str, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm with global (psum'd) statistics from a flax GroupNorm dict."""
+    c = x.shape[-1]
+    g = num_groups_for(c)
+    b, h_loc, w_, _ = x.shape
+    cg = c // g
+    xf = x.astype(jnp.float32).reshape(b, h_loc * w_, g, cg)
+    s1 = jax.lax.psum(xf.sum(axis=(1, 3)), axis_name)
+    s2 = jax.lax.psum((xf * xf).sum(axis=(1, 3)), axis_name)
+    n = h_loc * w_ * cg * jax.lax.axis_size(axis_name)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, :]
+    rstd_c = jnp.repeat(rstd, cg, axis=1)[:, None, :]
+    y = ((xf.reshape(b, h_loc * w_, c) - mean_c) * rstd_c
+         * p["weight"].astype(jnp.float32)[None, None, :]
+         + p["bias"].astype(jnp.float32)[None, None, :])
+    return y.reshape(b, h_loc, w_, c).astype(x.dtype)
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _block(p: Dict, x: jax.Array, spec, axis_name: str) -> jax.Array:
+    """Spatial UNetBlock forward (reference networks.py:164-185) with the
+    zero-embedding reduction: affine(emb=0) == affine bias."""
+    orig = x
+    h = _silu(_gn(p["norm0"], x, axis_name))
+    if spec.up:
+        h = spatial_nearest_up_2x(h)
+    if spec.down:
+        h = spatial_avg_pool(h, 2)
+    h = _conv(p["conv0"], h, axis_name)
+
+    affine_bias = p["affine"]["bias"].astype(h.dtype)   # (2*C,)
+    scale, shift = jnp.split(affine_bias.reshape(1, 1, 1, -1), 2, axis=-1)
+    h = _silu(shift + _gn(p["norm1"], h, axis_name) * (scale + 1))
+    h = _conv(p["conv1"], h, axis_name)
+
+    if "skip" in p:
+        s = orig
+        if spec.up:
+            s = spatial_nearest_up_2x(s)
+        if spec.down:
+            s = spatial_avg_pool(s, 2)
+        s = _conv(p["skip"], s, axis_name, padding=0)
+        orig = s
+    elif spec.up:
+        orig = spatial_nearest_up_2x(orig)
+    elif spec.down:
+        orig = spatial_avg_pool(orig, 2)
+    x = h + orig
+
+    # heads = C // 64 (networks.py:143); attention is a no-op when heads == 0,
+    # in which case the flax module created no qkv/proj params either.
+    if spec.attention and "qkv" in p:
+        # gather the (small, coarse) map; full attention locally; slice back
+        full = spatial_attention(x, axis_name)                 # (B, H, W, C)
+        bq, hh, ww, c = full.shape
+        nh = c // 64
+        y = _conv(p["qkv"], _gn_full(p["norm2"], full), axis_name=None)
+        y = y.reshape(bq, hh * ww, nh, c // nh, 3)
+        q, k, v = y[..., 0], y[..., 1], y[..., 2]
+        wgt = attention_weights(q, k)
+        a = jnp.einsum("bhqk,bkhc->bqhc", wgt, v).reshape(bq, hh, ww, c)
+        proj = _conv(p["proj"], a, axis_name=None)
+        x = x + local_rows(proj, axis_name)
+    return x
+
+
+def _gn_full(p: Dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Plain (unsharded) group norm for gathered full tensors."""
+    from probunet_tpu.ops.norm import group_norm
+    c = x.shape[-1]
+    return group_norm(x, p["weight"], p["bias"], num_groups_for(c), eps)
+
+
+def _conv_full(p: Dict, x: jax.Array) -> jax.Array:
+    from probunet_tpu.models.layers import conv2d_nhwc
+    w = p["weight"].astype(x.dtype)
+    out = conv2d_nhwc(x, w, padding=w.shape[0] // 2)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype).reshape(1, 1, 1, -1)
+    return out
+
+
+# _conv with axis_name=None routes 1x1/3x3 convs on full (gathered) tensors
+_conv_orig = _conv
+def _conv(p, x, axis_name, padding=1):  # noqa: F811
+    if axis_name is None:
+        return _conv_full(p, x)
+    return _conv_orig(p, x, axis_name, padding)
+
+
+def spatial_unet_forward(
+    params: Dict,
+    x: jax.Array,
+    img_resolution: Tuple[int, int],
+    in_channels: int,
+    axis_name: str,
+    model_channels: int = 128,
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4),
+    num_blocks: int = 2,
+    attn_resolutions: Tuple[int, ...] = (32, 16, 8),
+    bottleneck_attention: bool = True,
+) -> jax.Array:
+    """H-sharded equivalent of ``UNet.__call__`` (use_diffuse=False,
+    label_dim=0, deterministic). ``x`` is the local (B, H_loc, W, C) shard;
+    ``img_resolution`` is the GLOBAL resolution (drives the static plan)."""
+    enc_specs, dec_specs, final_c = build_unet_plan(
+        img_resolution, in_channels, model_channels, channel_mult, num_blocks,
+        attn_resolutions, bottleneck_attention)
+
+    skips = []
+    for spec in enc_specs:
+        p = params[f"enc_{spec.name}"]
+        if spec.kind == "conv":
+            x = _conv(p, x, axis_name)
+        else:
+            x = _block(p, x, spec, axis_name)
+        skips.append(x)
+    for spec in dec_specs:
+        if spec.concat_skip:
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+        x = _block(params[f"dec_{spec.name}"], x, spec, axis_name)
+    x = _conv(params["out_conv"], _silu(_gn(params["out_norm"], x, axis_name)), axis_name)
+    return x
+
+
+def spatial_gaussian_forward(params: Dict, x: jax.Array, num_filters, axis_name: str):
+    """H-sharded AxisAlignedConvGaussian: halo convs + local pools + psum'd
+    global mean pool -> (mu, log_sigma) identical on every device."""
+    h = x
+    for i, _ in enumerate(num_filters):
+        h = jax.nn.relu(_conv(params[f"enc_{i}"], h, axis_name))
+        h = spatial_avg_pool(h, 2)
+    # global average pool over (H, W): local mean scaled by local fraction, psum
+    local_sum = h.mean(axis=(1, 2), keepdims=True) / jax.lax.axis_size(axis_name)
+    pooled = jax.lax.psum(local_sum, axis_name)          # (B, 1, 1, C)
+    mu = _conv_full(params["conv_mu"], pooled)[:, 0, 0, :]
+    log_sigma = _conv_full(params["conv_log_sigma"], pooled)[:, 0, 0, :]
+    return mu.astype(jnp.float32), log_sigma.astype(jnp.float32)
+
+
+def spatial_probunet_forward(
+    params: Dict,
+    x: jax.Array,
+    z: jax.Array,
+    img_resolution: Tuple[int, int],
+    axis_name: str,
+    num_filters: Tuple[int, ...] = (64, 128, 256, 512),
+    model_channels: int = 128,
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4),
+    num_blocks: int = 2,
+    attn_resolutions: Tuple[int, ...] = (32, 16, 8),
+) -> jax.Array:
+    """H-sharded deterministic decode: UNet features + Fcomb with a given z
+    (the ensemble tail vmaps/batches over z outside)."""
+    feats = spatial_unet_forward(
+        params["unet"], x, img_resolution, x.shape[-1], axis_name,
+        model_channels=model_channels, channel_mult=channel_mult,
+        num_blocks=num_blocks, attn_resolutions=attn_resolutions)
+    fc = params["fcomb"]
+    b, h_loc, w_, c = feats.shape
+    zmap = jnp.broadcast_to(z[:, None, None, :].astype(feats.dtype),
+                            (b, h_loc, w_, z.shape[-1]))
+    h = jnp.concatenate([feats, zmap], axis=-1)
+    h = jax.nn.relu(_conv_full(fc["layer0"], h))
+    h = jax.nn.relu(_conv_full(fc["layer1"], h))
+    return _conv_full(fc["layer2"], h)
