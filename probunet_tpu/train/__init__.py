@@ -7,5 +7,7 @@ from probunet_tpu.train.steps import (  # noqa: F401
     make_deterministic_eval_step,
     make_sample_fn,
     make_crps_eval_fn,
+    make_edm_train_step,
+    edm_sample,
     beta_schedule,
 )

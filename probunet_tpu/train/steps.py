@@ -214,6 +214,81 @@ def make_crps_eval_fn(model, lowres_scale: int, standardization: str,
     return jax.jit(fn)
 
 
+def make_edm_train_step(
+    model,
+    tx,
+    lowres_scale: int,
+    standardization: str,
+    p_mean: float = -1.2,
+    p_std: float = 1.2,
+    sigma_data: float = 1.0,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """EDM denoising-score-matching step for diffusion-based downscaling.
+
+    The reference ships ``EDMPrecond`` unused (networks.py:339-389); this makes
+    it a live training path: residual targets are noised with log-normal
+    sigmas (Karras et al. EDM schedule), the preconditioned UNet denoises them
+    conditioned on the LR-interp input, weighted by lambda(sigma) =
+    (sigma^2 + sigma_data^2) / (sigma * sigma_data)^2.
+    """
+
+    def step(state: TrainState, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)       # conditioning (LR-interp)
+        y = pair["targets"].astype(jnp.float32)        # clean residual
+        r = jax.random.fold_in(rng, state.step)
+        r_sigma, r_noise, r_drop = jax.random.split(r, 3)
+        b = y.shape[0]
+        sigma = jnp.exp(p_mean + p_std * jax.random.normal(r_sigma, (b,)))
+        noise = jax.random.normal(r_noise, y.shape) * sigma[:, None, None, None]
+        weight = ((sigma ** 2 + sigma_data ** 2) / ((sigma * sigma_data) ** 2))
+
+        def loss_fn(params):
+            d = model.apply({"params": params}, (y + noise).astype(compute_dtype), sigma,
+                            condition_img=x, train=True, rngs={"dropout": r_drop})
+            per = jnp.mean(jnp.square(d.astype(jnp.float32) - y), axis=(1, 2, 3))
+            return jnp.mean(weight * per)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"train_loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def edm_sample(model, params, x_cond, rng, num_steps: int = 18,
+               sigma_min: float = 0.002, sigma_max: float = 80.0, rho: float = 7.0):
+    """Deterministic EDM (Heun) sampler: draws one residual field per input
+    conditioned on the LR-interp tiles. Returns (B, H, W, C)."""
+    b, h, w, c = x_cond.shape
+    steps = jnp.arange(num_steps, dtype=jnp.float32)
+    t = (sigma_max ** (1 / rho)
+         + steps / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+    t = jnp.concatenate([t, jnp.zeros((1,))])
+
+    def denoise(xk, sigma):
+        sig = jnp.full((b,), sigma)
+        return model.apply({"params": params}, xk, sig, condition_img=x_cond)
+
+    x = jax.random.normal(rng, (b, h, w, c)) * t[0]
+
+    def body(i, x):
+        t_cur, t_next = t[i], t[i + 1]
+        d = (x - denoise(x, t_cur)) / t_cur
+        x_euler = x + (t_next - t_cur) * d
+        def heun(_):
+            d2 = (x_euler - denoise(x_euler, t_next)) / t_next
+            return x + (t_next - t_cur) * 0.5 * (d + d2)
+        return jax.lax.cond(t_next > 0, heun, lambda _: x_euler, None)
+
+    return jax.lax.fori_loop(0, num_steps, body, x)
+
+
 def make_deterministic_train_step(
     model,
     tx,

@@ -246,3 +246,38 @@ class TestBF16:
         assert last < first * 0.7, f"bf16 ELBO should drop: {first} -> {last}"
         # params must stay fp32
         assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+
+class TestEDM:
+    def test_edm_train_and_sample(self):
+        """EDM diffusion path: loss decreases on synthetic data; Heun sampler
+        produces finite residual fields of the right shape."""
+        from probunet_tpu.models import EDMPrecond
+        from probunet_tpu.train.steps import edm_sample, make_edm_train_step
+
+        model = EDMPrecond(img_resolution=(16, 16), in_channels=6, out_channels=3,
+                           model_channels=8, channel_mult=(1, 2), num_blocks=1,
+                           attn_resolutions=(8,), dropout=0.0)
+        tx = make_optimizer(lr=3e-3)
+        hr = _hr_data(seed=9)
+        stats = transforms.compute_lr_stats(hr, 2, "perpixel")
+        x0 = jnp.zeros((1, 16, 16, 3))
+        v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                       x0, jnp.ones((1,)), condition_img=x0)
+        state = create_train_state(v["params"], tx)
+        step = make_edm_train_step(model, tx, 2, "perpixel", donate=False)
+        idx = jnp.arange(8)
+        rng = jax.random.key(2)
+        losses = []
+        for _ in range(40):
+            state, m = step(state, hr, stats, idx, rng)
+            losses.append(float(m["train_loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), "EDM loss should decrease"
+
+        from probunet_tpu.data import transforms as tfm
+        pair = tfm.make_pair(hr[:2], 2, "perpixel", stats)
+        out = edm_sample(model, state.params, pair["inputs"], jax.random.key(3),
+                         num_steps=5)
+        assert out.shape == (2, 16, 16, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
