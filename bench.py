@@ -87,17 +87,19 @@ def main():
 
     t0 = time.perf_counter()
     state, metrics = step(state, hr, stats, idx0, rng)
-    jax.block_until_ready(metrics["train_loss"])
+    float(metrics["train_loss"])
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
     for w in range(5):  # warmup
         state, metrics = step(state, hr, stats, (idx0 + w * batch) % t, rng)
-    jax.block_until_ready(metrics["train_loss"])
+    float(metrics["train_loss"])
 
+    # NOTE: block_until_ready is not a reliable completion barrier on this
+    # runtime; a host VALUE fetch inside the timed window is the barrier.
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, hr, stats, (idx0 + i * batch) % t, rng)
-    jax.block_until_ready(metrics["train_loss"])
+    float(metrics["train_loss"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt
@@ -113,11 +115,13 @@ def main():
     from probunet_tpu.train import make_sample_fn
     sample_fn = make_sample_fn(model, 4, "perpixel", 16, compute_dtype)
     hp, _ = sample_fn(state.params, hr, stats, idx0, rng)
-    jax.block_until_ready(hp)
+    float(hp.sum())
     t0 = time.perf_counter()
+    acc = None
     for i in range(20):
         hp, _ = sample_fn(state.params, hr, stats, (idx0 + i * batch) % t, rng)
-    jax.block_until_ready(hp)
+        acc = hp if acc is None else acc + hp  # chain to prevent elision
+    float(acc.sum())
     inf_dt = (time.perf_counter() - t0) / 20
     log(f"inference (16-draw ensembles): {batch / inf_dt:.1f} inputs/s = "
         f"{16 * batch / inf_dt:.0f} ensemble members/s at {res}x{res}")

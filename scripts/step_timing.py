@@ -41,17 +41,19 @@ def time_step(batch=8, res=64, dtype="bf16", steps=30, scale=4):
     stats = transforms.compute_lr_stats(hr, scale, "perpixel")
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
     step = make_probunet_train_step(model, tx, scale, "perpixel",
-                                    compute_dtype=cd, donate=(os.environ.get("DONATE","0")=="1"))
+                                    compute_dtype=cd, donate=True)
     idx = jnp.arange(batch) % t
     rng = jax.random.key(3)
     t0 = time.perf_counter()
-    _, m = step(state, hr, stats, idx, rng)
-    jax.block_until_ready(m["train_loss"])
+    state, m = step(state, hr, stats, idx, rng)
+    _ = float(m["train_loss"])
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(steps):
-        _, m = step(state, hr, stats, idx, rng)
-    jax.block_until_ready(m["train_loss"])
+    for i in range(steps):
+        # thread the state (chained, un-dedupable) and fetch a VALUE at the
+        # end: block_until_ready is not a reliable barrier on this runtime
+        state, m = step(state, hr, stats, (idx + i) % t, rng)
+    _ = float(m["train_loss"])
     dt = (time.perf_counter() - t0) / steps
     return dt, compile_s
 

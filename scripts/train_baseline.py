@@ -9,7 +9,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from probunet_tpu.config import get_config
+from probunet_tpu.config import Config, get_config
 from probunet_tpu.train.loop import train_baseline
 
 
@@ -21,11 +21,19 @@ def main():
     if cfg.ds_model == "probabilistic_unet":
         raise SystemExit("use scripts/train_probunet.py for the probabilistic model")
     if synthetic:
+        from probunet_tpu.data.netcdf import discover_files
         from probunet_tpu.data.synthetic import generate_climex_like
-        datadir = cfg.datadir if os.path.isdir(cfg.datadir) else "./data/synthetic_climex"
-        if not os.path.isdir(datadir) or not os.listdir(datadir):
+        datadir = cfg.datadir if cfg.datadir != Config().datadir else "./data/synthetic_climex"
+        try:
+            discover_files(datadir, range(cfg.years_train[0], cfg.years_test[1]), cfg.variables)
+            have_all = True
+        except (FileNotFoundError, OSError):
+            have_all = False
+        if not have_all:
+            print(f"Generating synthetic ClimEx-like data in {datadir}")
             years = range(cfg.years_train[0], cfg.years_test[1])
-            generate_climex_like(datadir, years=years, grid=max(cfg.coords[1], cfg.coords[3]))
+            generate_climex_like(datadir, years=years,
+                                 grid=max(cfg.coords[1], cfg.coords[3]))
         cfg = cfg.replace(datadir=datadir)
     train_baseline(cfg)
 
