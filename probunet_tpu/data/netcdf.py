@@ -169,3 +169,35 @@ def load_window(
         "lat": lat,
         "lon": lon,
     }
+
+
+def write_fields(
+    path: str,
+    fields: Dict[str, np.ndarray],      # name -> (T, H, W) or (T, K, H, W)
+    timestamps_ns: np.ndarray,
+    lat: Optional[np.ndarray] = None,
+    lon: Optional[np.ndarray] = None,
+    attrs: Optional[Dict[str, str]] = None,
+) -> str:
+    """Write downscaled fields to a netCDF-4 (HDF5) file in the same layout
+    the ingest path reads: per-variable (time[, member], rlat, rlon) datasets,
+    CF time (days since 1950-01-01), 2D lat/lon. Serving-side output writer."""
+    if h5py is None:
+        raise ImportError("h5py is required to write netCDF output")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    days = np.asarray(timestamps_ns, dtype=np.float64) / 86400e9
+    base = np.datetime64("1950-01-01", "D").astype("datetime64[ns]").astype(float) / 86400e9
+    with h5py.File(path, "w") as f:
+        tds = f.create_dataset("time", data=days - base)
+        tds.attrs["units"] = np.bytes_("days since 1950-01-01")
+        tds.attrs["calendar"] = np.bytes_("standard")
+        if lat is not None:
+            f.create_dataset("lat", data=np.asarray(lat, np.float32))
+        if lon is not None:
+            f.create_dataset("lon", data=np.asarray(lon, np.float32))
+        for name, arr in fields.items():
+            ds = f.create_dataset(name, data=np.asarray(arr, np.float32),
+                                  compression="gzip", compression_opts=1)
+            for k, v in (attrs or {}).items():
+                ds.attrs[k] = np.bytes_(v)
+    return path

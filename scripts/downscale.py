@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Serving CLI: checkpoint -> downscaled ensemble netCDF.
+
+    python scripts/downscale.py --checkpoint ./results/checkpoints/probunet \
+        --out ./results/downscaled.nc --num_samples 16 [config flags...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from probunet_tpu.config import get_config
+from probunet_tpu.serve import downscale
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", default="./results/downscaled.nc")
+    args, rest = p.parse_known_args()
+    cfg = get_config(rest)
+    path = downscale(cfg, args.checkpoint, args.out)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Serving path: checkpoint -> ensemble netCDF output, read back and checked."""
+
+import os
+
+import numpy as np
+import pytest
+
+from probunet_tpu.config import Config
+from probunet_tpu.data.netcdf import NetCDFFile, write_fields
+from probunet_tpu.data.synthetic import generate_climex_like
+from probunet_tpu.serve import downscale
+from probunet_tpu.train.loop import train_probunet
+
+
+def test_write_fields_roundtrip(tmp_path):
+    path = os.path.join(str(tmp_path), "out.nc")
+    t, k, h, w = 3, 2, 8, 8
+    rng = np.random.default_rng(0)
+    fields = {"pr": rng.random((t, k, h, w)).astype(np.float32)}
+    ts = (np.arange(t) + 20000.0) * 86400e9
+    lat = rng.random((h, w)).astype(np.float32)
+    write_fields(path, fields, ts, lat=lat, lon=lat, attrs={"members": "2"})
+    with NetCDFFile(path) as f:
+        back = f.read_var("pr")
+        times = f.read_time()
+    np.testing.assert_allclose(back, fields["pr"], rtol=1e-6)
+    assert times.shape == (t,)
+    np.testing.assert_array_equal(times.astype(float), ts)
+
+
+def test_downscale_end_to_end(tmp_path):
+    datadir = os.path.join(str(tmp_path), "data")
+    generate_climex_like(datadir, years=(2000, 2001), grid=16, days_per_year=10)
+    cfg = Config(
+        datadir=datadir, years_train=(2000, 2001), years_val=(2001, 2002),
+        years_test=(2001, 2002), coords=(0, 16, 0, 16), resolution=(16, 16),
+        lowres_scale=2, batch_size=4, num_epochs=1, latent_dim=4,
+        standardization="pertimestep",  # perpixel std can be ~0 for all-dry
+        # precip pixels in tiny synthetic data (reference eps=1e-10 hazard)
+        num_filters=(8,), model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        attn_resolutions=(8,), num_samples=3,
+        plotdir=os.path.join(str(tmp_path), "plots"),
+        checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
+    train_probunet(cfg, make_plots=False)
+
+    out = os.path.join(str(tmp_path), "downscaled.nc")
+    path = downscale(cfg, os.path.join(cfg.checkpoints_dir, "probunet"), out,
+                     num_samples=3)
+    with NetCDFFile(path) as f:
+        pr = f.read_var("pr")
+        tasmin = f.read_var("tasmin")
+    assert pr.shape == (10, 3, 16, 16)       # (T, members, H, W)
+    assert np.isfinite(pr).all() and np.isfinite(tasmin).all()
+    # members differ (prior sampling) and live in a physical range
+    assert pr.std(axis=1).mean() > 0
+    assert tasmin.mean() > 200, "tasmin should be in Kelvin scale"
