@@ -57,6 +57,8 @@ class Config:
     # --- numerics / TPU ---
     compute_dtype: str = "float32"  # {"float32", "bfloat16"} activations/matmul dtype
     use_pallas: bool = True         # fused Pallas kernels on TPU hot paths
+    fast_attention: bool = False    # QK^T in activation dtype (softmax stays fp32): ~20% faster step
+    rng_impl: str = "threefry2x32"  # {"threefry2x32","rbg","unsafe_rbg"}; unsafe_rbg makes dropout ~free
     remat: bool = False             # jax.checkpoint on U-Net blocks (memory/HBM trade)
     donate_state: bool = True
 

@@ -136,8 +136,10 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
                           use_wandb=cfg.wandb, wandb_config=vars(cfg) if hasattr(cfg, "__dict__") else None)
     timer = StepTimer(cfg.profile_dir)
-    rng = jax.random.key(cfg.seed + 1)
-    eval_rng = jax.random.key(cfg.eval_seed)
+    if cfg.fast_attention:
+        os.environ["PROBUNET_FAST_ATTN"] = "1"   # read at trace time (layers.attention_weights)
+    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
+    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
 
     tr_losses, val_losses = [], []
     step_count = 0
