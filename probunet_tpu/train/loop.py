@@ -320,6 +320,11 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
             for v in cfg.variables:
                 val_losses[v].append(float(m[f"eval_{v}"]))
 
+    # sample + plot_batch (reference baseline/main.py:88-90, trainmodel.py:204-233)
+    if make_plots:
+        _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val)
+        _plot_baseline_losses(cfg, tr_losses, val_losses)
+
     # checkpoint (reference baseline/main.py:108-109)
     save_checkpoint(os.path.join(cfg.checkpoints_dir, cfg.ds_model), jax.device_get(state))
 
@@ -357,3 +362,55 @@ def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset]) -> Dict:
         out[split] = {"preds": preds, "mae": mae}
         print(f"BCSD {split} MAE:", mae)
     return out
+
+
+def moving_average(x, w: int):
+    """Smoothing for loss-curve plots (reference baseline/main.py:12-13)."""
+    x = np.asarray(x)
+    w = max(1, min(w, len(x)))
+    return np.convolve(x, np.ones(w), "valid") / w
+
+
+def _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val):
+    """One batch forward -> residual_to_hr -> plot_batch (trainmodel.py:204-233)."""
+    from probunet_tpu.data import transforms
+    from probunet_tpu.viz import plot_batch
+    import matplotlib.pyplot as plt
+
+    n = min(2, len(ds_val))
+    idx = jnp.asarray(np.random.default_rng(0).integers(0, len(ds_val), size=max(n, 2)))
+    hr = hr_val[idx]
+    sl = transforms.slice_stats(stats_val, cfg.standardization, idx)
+    pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
+    preds = model.apply({"params": state.params}, pair["inputs"],
+                        class_labels=ts_val[idx][:, None], train=False)
+    hr_pred = transforms.residual_to_hr(preds.astype(jnp.float32), pair["lrinterp"],
+                                        cfg.standardization, sl)
+    fig, _ = plot_batch(pair["lrinterp"], hr_pred, pair["hr"],
+                        ds_val.timestamps_np[np.asarray(idx)], cfg.num_epochs,
+                        cfg.variables, lat=ds_val.lat, lon=ds_val.lon, N=n)
+    fig.savefig(os.path.join(cfg.plotdir,
+                             f"epoch{cfg.num_epochs}_samples_from_{cfg.ds_model}.png"), dpi=150)
+    plt.close(fig)
+
+
+def _plot_baseline_losses(cfg, tr_losses, val_losses):
+    """Per-variable smoothed train/val loss curves (baseline/main.py:93-106)."""
+    import matplotlib.pyplot as plt
+
+    for var in cfg.variables:
+        tr = moving_average(tr_losses[var], w=24)
+        vl = moving_average(val_losses[var], w=48)
+        if len(tr) == 0 or len(vl) == 0:
+            continue
+        tr_x = np.arange(1, len(tr) + 1)
+        val_x = np.linspace(1, len(tr) + 1, len(vl))
+        fig = plt.figure(figsize=(15, 10))
+        plt.plot(tr_x, tr, lw=2, label="training loss")
+        plt.plot(val_x, vl, lw=2, linestyle="dashed", label="validation loss")
+        plt.xlabel("Steps")
+        plt.ylabel("Loss")
+        plt.title(f"Loss for {var}")
+        plt.legend()
+        fig.savefig(os.path.join(cfg.plotdir, f"loss_{var}.png"), dpi=150)
+        plt.close(fig)

@@ -60,10 +60,14 @@ def test_train_probunet_e2e(datadir, tmp_path):
 def test_train_baseline_unet_e2e(datadir, tmp_path):
     cfg = _cfg(datadir, tmp_path, ds_model="deterministic_unet", num_epochs=1,
                model_channels=8)
-    res = train_baseline(cfg, make_plots=False)
+    res = train_baseline(cfg, make_plots=True)
     for v in cfg.variables:
         assert np.isfinite(res["mae"][v])
         assert len(res["tr_losses"][v]) > 0
+    # plot_batch sample figure + per-variable smoothed loss curves
+    assert os.path.exists(os.path.join(
+        cfg.plotdir, "epoch1_samples_from_deterministic_unet.png"))
+    assert os.path.exists(os.path.join(cfg.plotdir, "loss_pr.png"))
 
 
 def test_train_baseline_linearcnn_e2e(datadir, tmp_path):
