@@ -14,4 +14,23 @@ the hot normalization paths.
 
 __version__ = "0.1.0"
 
-from probunet_tpu.config import Config  # noqa: F401
+from probunet_tpu.config import Config, get_config  # noqa: F401
+
+__all__ = ["Config", "get_config"]
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax/flax for config-only use)."""
+    if name in ("ProbabilisticUNet", "UNet", "LinearCNN", "EDMPrecond", "bcsd"):
+        import probunet_tpu.models as m
+        return getattr(m, name)
+    if name == "ClimexDataset":
+        from probunet_tpu.data.dataset import ClimexDataset
+        return ClimexDataset
+    if name in ("train_probunet", "train_baseline"):
+        import probunet_tpu.train.loop as loop
+        return getattr(loop, name)
+    if name == "downscale":
+        from probunet_tpu.serve import downscale
+        return downscale
+    raise AttributeError(f"module 'probunet_tpu' has no attribute {name!r}")
