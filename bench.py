@@ -53,15 +53,13 @@ def main():
     # production fast mode (default): bf16 QK^T attention + unsafe_rbg dropout
     # RNG. BENCH_MODE=strict keeps the reference's fp32 attention + threefry.
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
-    if fast:
-        os.environ["PROBUNET_FAST_ATTN"] = "1"
     rng_impl = "unsafe_rbg" if fast else "threefry2x32"
     log(f"mode: {'fast (bf16 attn, unsafe_rbg rng)' if fast else 'strict parity'}")
 
     log(f"devices: {jax.devices()}")
     model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
                               num_filters=(64, 128, 256, 512),
-                              img_resolution=(res, res))
+                              img_resolution=(res, res), fast_attention=fast)
     tx = make_optimizer(lr=1e-3)
     x0 = jnp.zeros((1, res, res, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),

@@ -41,6 +41,7 @@ class Config:
     num_blocks: int = 2
     attn_resolutions: Tuple[int, ...] = (32, 16, 8)
     dropout: float = 0.10
+    baseline_channels: int = 64  # deterministic U-Net width (baseline/deterministic_unet.py:232)
 
     # --- ML training arguments (reference train_prob_unet_model.py:34-39) ---
     batch_size: int = 8
@@ -49,7 +50,7 @@ class Config:
     accum: int = 1                  # gradient-accumulation steps (reference's knob is inert; ours works)
     beta: float = 1.0               # ELBO KL weight
     beta_schedule: str = "const"    # {"const", "linear", "cyclic"} — beta annealing (BASELINE config #4)
-    beta_warmup_steps: int = 0
+    beta_warmup_steps: int = 0      # counts OPTIMIZER updates (micro-steps / accum), see steps.py
     optimizer: str = "adamw"
     weight_decay: float = 0.01      # torch AdamW default
     seed: int = 42

@@ -77,9 +77,18 @@ class ClimexDataset:
 
     @property
     def dayofyear(self) -> np.ndarray:
-        """Day-of-year in [0, 365), from the noleap float-ns timestamps."""
-        days = self.timestamps_np / 86400e9
-        return np.mod(np.floor(days), 365.0).astype(np.int32)
+        """Day-of-year in [0, 365), derived from the calendar dates.
+
+        ``netcdf.decode_time`` maps noleap time axes onto real Gregorian dates,
+        so ``floor(ns_since_epoch/86400e9) % 365`` would drift one day per
+        leap year (~25 days over a century of training data). Subtracting each
+        date's own year start instead is exact for both the noleap mapping and
+        real standard-calendar data; Dec 31 of a leap year clips into bin 364.
+        """
+        dates = self.timestamps_np.astype(np.int64).astype("datetime64[ns]")
+        year_start = dates.astype("datetime64[Y]").astype("datetime64[ns]")
+        doy = (dates - year_start) / np.timedelta64(1, "D")
+        return np.minimum(np.floor(doy), 364.0).astype(np.int32)
 
     # ---- device residency ----
     def hr_device(self, sharding=None) -> jax.Array:

@@ -63,11 +63,14 @@ def stream_batches(
     shuffle: bool = True,
     buffer_size: int = 2,
     sharding=None,
+    timestamps_np: Optional[np.ndarray] = None,
 ) -> Iterator[Dict]:
-    """Yield device-resident {hr, stats} batches, double-buffered.
+    """Yield device-resident {hr, stats[, timestamps]} batches, double-buffered.
 
     For pertimestep/minmax, per-sample stats slices ride along with the batch;
-    for perpixel/none the global stats are passed through unsliced.
+    for perpixel/none the global stats are passed through unsliced. Pass
+    ``timestamps_np`` for models that condition on time (the deterministic
+    baselines' class_labels path).
     """
     n = hr_np.shape[0]
     order = (np.random.default_rng(epoch_seed).permutation(n) if shuffle
@@ -82,6 +85,8 @@ def stream_batches(
                 item["stats"] = (stats_np[0][idx], stats_np[1][idx])
             elif stats_np is not None:
                 item["stats"] = stats_np
+            if timestamps_np is not None:
+                item["timestamps"] = timestamps_np[idx]
             yield item
 
     return iter(DevicePrefetcher(host_iter(), buffer_size=buffer_size, sharding=sharding))
@@ -103,10 +108,12 @@ def compute_lr_stats_streaming(
         pool = jax.jit(lambda x: avg_pool(x, lowres_scale))
         s1 = s2 = None
         for lo in range(0, t, chunk):
-            lr = pool(jnp.asarray(hr_np[lo:lo + chunk]))
-            lr64 = lr.astype(jnp.float64) if jax.config.jax_enable_x64 else lr.astype(jnp.float32)
-            c1 = np.asarray(lr64.sum(axis=0))
-            c2 = np.asarray((lr64 * lr64).sum(axis=0))
+            # Pool on device, accumulate in float64 on host: fp32 sum-of-squares
+            # of Kelvin-scale fields over a century loses ~all precision in the
+            # s2 - t*mean^2 subtraction (jax_enable_x64 is never set here).
+            lr64 = np.asarray(pool(jnp.asarray(hr_np[lo:lo + chunk]))).astype(np.float64)
+            c1 = lr64.sum(axis=0)
+            c2 = (lr64 * lr64).sum(axis=0)
             s1 = c1 if s1 is None else s1 + c1
             s2 = c2 if s2 is None else s2 + c2
         mean = s1 / t

@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from probunet_tpu.models.layers import conv2d_nhwc, torch_default_init
@@ -55,12 +56,19 @@ class LinearCNN(nn.Module):
         return x
 
 
-def day_of_year_365(timestamps_ns: jax.Array) -> jax.Array:
-    """Day-of-year index in [0, 365) from float nanosecond timestamps, assuming
-    the ClimEx 365-day (no-leap) calendar. Works for synthetic data generated
-    by this framework; real netCDF time axes carry their own calendar."""
-    days = timestamps_ns / (1e9 * 86400.0)
-    return jnp.mod(jnp.floor(days), 365.0).astype(jnp.int32)
+def day_of_year_365(timestamps_ns) -> "np.ndarray":
+    """Day-of-year index in [0, 365) from float-ns timestamps (host-side numpy).
+
+    Calendar-date based: each timestamp's own year start is subtracted, which
+    is exact for both real Gregorian dates and the noleap->Gregorian mapping
+    ``data.netcdf.decode_time`` produces (a plain ``days_since_epoch % 365``
+    drifts one day per leap year). Dec 31 of leap years clips into bin 364.
+    Equivalent to ``ClimexDataset.dayofyear``."""
+    ts = np.asarray(timestamps_ns, dtype=np.float64)
+    dates = ts.astype(np.int64).astype("datetime64[ns]")
+    year_start = dates.astype("datetime64[Y]").astype("datetime64[ns]")
+    doy = (dates - year_start) / np.timedelta64(1, "D")
+    return np.minimum(np.floor(doy), 364.0).astype(np.int32)
 
 
 def bcsd(

@@ -242,19 +242,21 @@ class GroupNormSiLU(nn.Module):
         return gn_silu(x, weight, bias, g, self.eps, self.force)
 
 
-def attention_weights(q: jax.Array, k: jax.Array) -> jax.Array:
+def attention_weights(q: jax.Array, k: jax.Array, fast: bool = False) -> jax.Array:
     """softmax(Q^T K / sqrt(c)) in fp32 (reference AttentionOp, networks.py:112-125).
 
     q, k: (B, L, heads, c) NHWC-natural layout. Returns (B, heads, Lq, Lk) in q.dtype.
 
-    PROBUNET_FAST_ATTN=1 keeps the QK^T matmul in the activation dtype (bf16
-    on TPU, ~6x MXU rate) with only the softmax in fp32 — a production
-    fast-path; default is the reference's full-fp32 math.
+    ``fast=True`` keeps the QK^T matmul in the activation dtype (bf16 on TPU,
+    ~6x MXU rate) with only the softmax in fp32 — a production fast-path;
+    default is the reference's full-fp32 math. Thread the flag explicitly
+    (UNet/ProbabilisticUNet ``fast_attention`` attribute); the legacy
+    PROBUNET_FAST_ATTN env var is honored as a deprecated alias only.
     """
     import os
 
     c = k.shape[-1]
-    if os.environ.get("PROBUNET_FAST_ATTN"):
+    if fast or os.environ.get("PROBUNET_FAST_ATTN"):
         w = jnp.einsum("bqhc,bkhc->bhqk", q, (k / np.sqrt(c)).astype(q.dtype))
         return jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
     qf = q.astype(jnp.float32)

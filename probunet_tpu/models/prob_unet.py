@@ -105,6 +105,7 @@ class ProbabilisticUNet(nn.Module):
     channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
     num_blocks: int = 2
     attn_resolutions: Tuple[int, ...] = (32, 16, 8)
+    fast_attention: bool = False
     remat: bool = False
 
     def setup(self):
@@ -119,6 +120,7 @@ class ProbabilisticUNet(nn.Module):
             channel_mult=self.channel_mult,
             num_blocks=self.num_blocks,
             attn_resolutions=self.attn_resolutions,
+            fast_attention=self.fast_attention,
             remat=self.remat,
         )
         self.prior = AxisAlignedConvGaussian(

@@ -51,6 +51,7 @@ class UNetBlock(nn.Module):
     attention: bool = False
     num_heads: Optional[int] = None
     channels_per_head: int = 64
+    fast_attention: bool = False  # bf16 QK^T, fp32 softmax (see layers.attention_weights)
     dropout: float = 0.0
     skip_scale: float = 1.0
     eps: float = 1e-5
@@ -106,7 +107,7 @@ class UNetBlock(nn.Module):
             # same factorization on the trailing axis (networks.py:180).
             y = y.reshape(b, h * w, nh, c // nh, 3)
             q, k, v = y[..., 0], y[..., 1], y[..., 2]
-            wgt = attention_weights(q, k)                       # (B, nh, L, L) fp32->x.dtype
+            wgt = attention_weights(q, k, self.fast_attention)  # (B, nh, L, L) fp32->x.dtype
             a = jnp.einsum("bhqk,bkhc->bqhc", wgt, v)
             a = a.reshape(b, h, w, c)
             x = (x + Conv2d(c, c, 1, init=self.init_zero, name="proj")(a)) * self.skip_scale
@@ -203,6 +204,7 @@ class UNet(nn.Module):
     # networks.py:284-285 always enables attention in the bottleneck in0 block;
     # baseline/deterministic_unet.py:283-284 disables it — hence the knob.
     bottleneck_attention: bool = True
+    fast_attention: bool = False  # bf16 QK^T path, threaded to every attention block
     remat: bool = False  # jax.checkpoint each block (memory/recompute trade)
 
     @property
@@ -228,6 +230,7 @@ class UNet(nn.Module):
         init_zero = ADM_INIT_ZERO
         emb_channels = self.emb_channels
         block_kw = dict(emb_channels=emb_channels, channels_per_head=64,
+                        fast_attention=self.fast_attention,
                         dropout=self.dropout, init=init, init_zero=init_zero)
         enc_specs, dec_specs, final_c = self.plan()
 

@@ -14,9 +14,10 @@ verified equal to the unsharded forward in tests/test_spatial_unet.py.
 
 Supports the downscaling configuration (use_diffuse=False, label_dim=0, where
 the embedding is silu(0)=0 and each block's adaptive scale/shift reduces to
-the affine bias — reference networks.py:303,319) in deterministic mode
-(dropout off), i.e. inference/eval; training still uses the data-parallel
-fused step.
+the affine bias — reference networks.py:303,319). Deterministic mode serves
+inference/eval; :func:`spatial_probunet_elbo` adds posterior sampling +
+per-shard dropout + optional per-block remat, and is the loss body of the
+spatially-sharded TRAINING step (``parallel.spatial_train``).
 """
 
 from __future__ import annotations
@@ -38,8 +39,11 @@ from probunet_tpu.parallel.spatial import (
 )
 
 
-def _conv(p: Dict, x: jax.Array, axis_name: str, padding: int = 1) -> jax.Array:
-    """SAME conv from a flax Conv2d param dict; 3x3 uses halo exchange, 1x1 is local."""
+def _conv(p: Dict, x: jax.Array, axis_name, padding: int = 1) -> jax.Array:
+    """SAME conv from a flax Conv2d param dict; 3x3 uses halo exchange, 1x1 is
+    local. ``axis_name=None`` means x is a full (gathered) tensor: plain conv."""
+    if axis_name is None:
+        return _conv_full(p, x)
     w = p["weight"].astype(x.dtype)
     k = w.shape[0]
     if k == 1:
@@ -80,7 +84,19 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _block(p: Dict, x: jax.Array, spec, axis_name: str) -> jax.Array:
+def _dropout(x: jax.Array, rate: float, rng: jax.Array | None,
+             axis_name: str) -> jax.Array:
+    """Inverted dropout with a per-shard mask (rng folded with the device's
+    axis index, so H-shards draw independent masks)."""
+    if rate <= 0.0 or rng is None:
+        return x
+    r = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+    keep = jax.random.bernoulli(r, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def _block(p: Dict, x: jax.Array, spec, axis_name: str,
+           dropout: float = 0.0, dropout_rng: jax.Array | None = None) -> jax.Array:
     """Spatial UNetBlock forward (reference networks.py:164-185) with the
     zero-embedding reduction: affine(emb=0) == affine bias."""
     orig = x
@@ -94,6 +110,7 @@ def _block(p: Dict, x: jax.Array, spec, axis_name: str) -> jax.Array:
     affine_bias = p["affine"]["bias"].astype(h.dtype)   # (2*C,)
     scale, shift = jnp.split(affine_bias.reshape(1, 1, 1, -1), 2, axis=-1)
     h = _silu(shift + _gn(p["norm1"], h, axis_name) * (scale + 1))
+    h = _dropout(h, dropout, dropout_rng, axis_name)
     h = _conv(p["conv1"], h, axis_name)
 
     if "skip" in p:
@@ -143,14 +160,6 @@ def _conv_full(p: Dict, x: jax.Array) -> jax.Array:
     return out
 
 
-# _conv with axis_name=None routes 1x1/3x3 convs on full (gathered) tensors
-_conv_orig = _conv
-def _conv(p, x, axis_name, padding=1):  # noqa: F811
-    if axis_name is None:
-        return _conv_full(p, x)
-    return _conv_orig(p, x, axis_name, padding)
-
-
 def spatial_unet_forward(
     params: Dict,
     x: jax.Array,
@@ -162,26 +171,41 @@ def spatial_unet_forward(
     num_blocks: int = 2,
     attn_resolutions: Tuple[int, ...] = (32, 16, 8),
     bottleneck_attention: bool = True,
+    dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
 ) -> jax.Array:
     """H-sharded equivalent of ``UNet.__call__`` (use_diffuse=False,
-    label_dim=0, deterministic). ``x`` is the local (B, H_loc, W, C) shard;
-    ``img_resolution`` is the GLOBAL resolution (drives the static plan)."""
+    label_dim=0). ``x`` is the local (B, H_loc, W, C) shard; ``img_resolution``
+    is the GLOBAL resolution (drives the static plan). ``dropout``/``remat``
+    make this a training-capable forward: per-shard dropout masks, and
+    per-block rematerialization to hold 256x256+ activations across chips."""
     enc_specs, dec_specs, final_c = build_unet_plan(
         img_resolution, in_channels, model_channels, channel_mult, num_blocks,
         attn_resolutions, bottleneck_attention)
 
+    block = _block
+    if remat:
+        block = jax.checkpoint(_block, static_argnums=(2, 3, 4))
+
+    def block_rng(i):
+        return None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
+
+    bi = 0
     skips = []
     for spec in enc_specs:
         p = params[f"enc_{spec.name}"]
         if spec.kind == "conv":
             x = _conv(p, x, axis_name)
         else:
-            x = _block(p, x, spec, axis_name)
+            x = block(p, x, spec, axis_name, dropout, block_rng(bi))
+            bi += 1
         skips.append(x)
     for spec in dec_specs:
         if spec.concat_skip:
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = _block(params[f"dec_{spec.name}"], x, spec, axis_name)
+        x = block(params[f"dec_{spec.name}"], x, spec, axis_name, dropout, block_rng(bi))
+        bi += 1
     x = _conv(params["out_conv"], _silu(_gn(params["out_norm"], x, axis_name)), axis_name)
     return x
 
@@ -199,6 +223,68 @@ def spatial_gaussian_forward(params: Dict, x: jax.Array, num_filters, axis_name:
     mu = _conv_full(params["conv_mu"], pooled)[:, 0, 0, :]
     log_sigma = _conv_full(params["conv_log_sigma"], pooled)[:, 0, 0, :]
     return mu.astype(jnp.float32), log_sigma.astype(jnp.float32)
+
+
+def spatial_fcomb(fc: Dict, feats: jax.Array, z: jax.Array) -> jax.Array:
+    """Fcomb on a local H-shard: 1x1 convs are purely local (prob_unet.py:80-121)."""
+    b, h_loc, w_, _ = feats.shape
+    zmap = jnp.broadcast_to(z[:, None, None, :].astype(feats.dtype),
+                            (b, h_loc, w_, z.shape[-1]))
+    h = jnp.concatenate([feats, zmap], axis=-1)
+    h = jax.nn.relu(_conv_full(fc["layer0"], h))
+    h = jax.nn.relu(_conv_full(fc["layer1"], h))
+    return _conv_full(fc["layer2"], h)
+
+
+def spatial_probunet_elbo(
+    params: Dict,
+    x: jax.Array,
+    y: jax.Array,
+    img_resolution: Tuple[int, int],
+    axis_name: str,
+    beta=1.0,
+    z: jax.Array | None = None,
+    rng: jax.Array | None = None,
+    num_filters: Tuple[int, ...] = (64, 128, 256, 512),
+    model_channels: int = 128,
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4),
+    num_blocks: int = 2,
+    attn_resolutions: Tuple[int, ...] = (32, 16, 8),
+    dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
+):
+    """H-sharded ELBO (prob_unet.py:198-234 math) — the training loss body.
+
+    ``x``/``y`` are local (B, H_loc, W, C) shards inside a ``shard_map`` over
+    ``axis_name``. The posterior draw ``z`` is replicated (mu/log_sigma come
+    out of psum'd global pools, and ``rng`` is the same on every device);
+    ``recon`` is the psum of local sum-squared errors, so all three returned
+    scalars are device-invariant — safe for ``out_specs=P()`` and for taking
+    ``jax.grad`` OUTSIDE the shard_map (the replicated-input transpose psums
+    the per-device param cotangents). Supply an explicit ``z`` for parity
+    tests (mirrors ``ProbabilisticUNet.elbo_with_z``).
+    """
+    from probunet_tpu.ops.distributions import DiagGaussian, kl_diag_gaussian
+
+    feats = spatial_unet_forward(
+        params["unet"], x, img_resolution, x.shape[-1], axis_name,
+        model_channels=model_channels, channel_mult=channel_mult,
+        num_blocks=num_blocks, attn_resolutions=attn_resolutions,
+        dropout=dropout, dropout_rng=dropout_rng, remat=remat)
+    pr_mu, pr_ls = spatial_gaussian_forward(params["prior"], x, num_filters, axis_name)
+    po_mu, po_ls = spatial_gaussian_forward(
+        params["posterior"], jnp.concatenate([x, y], axis=-1), num_filters, axis_name)
+    prior = DiagGaussian(pr_mu, pr_ls)
+    posterior = DiagGaussian(po_mu, po_ls)
+    if z is None:
+        z = posterior.rsample(rng)          # same rng everywhere -> replicated z
+    out = spatial_fcomb(params["fcomb"], feats, z)
+    diff = out.astype(jnp.float32) - y.astype(jnp.float32)
+    recon = jax.lax.psum(jnp.sum(jnp.square(diff)), axis_name)
+    kl = kl_diag_gaussian(posterior, prior).sum()
+    total = recon + beta * kl
+    return total, recon, kl
 
 
 def spatial_probunet_forward(
@@ -219,11 +305,4 @@ def spatial_probunet_forward(
         params["unet"], x, img_resolution, x.shape[-1], axis_name,
         model_channels=model_channels, channel_mult=channel_mult,
         num_blocks=num_blocks, attn_resolutions=attn_resolutions)
-    fc = params["fcomb"]
-    b, h_loc, w_, c = feats.shape
-    zmap = jnp.broadcast_to(z[:, None, None, :].astype(feats.dtype),
-                            (b, h_loc, w_, z.shape[-1]))
-    h = jnp.concatenate([feats, zmap], axis=-1)
-    h = jax.nn.relu(_conv_full(fc["layer0"], h))
-    h = jax.nn.relu(_conv_full(fc["layer1"], h))
-    return _conv_full(fc["layer2"], h)
+    return spatial_fcomb(params["fcomb"], feats, z)

@@ -21,7 +21,7 @@ from probunet_tpu.data.dataset import ClimexDataset
 from probunet_tpu.data.netcdf import write_fields
 from probunet_tpu.train import make_sample_fn
 from probunet_tpu.train.checkpoint import restore_checkpoint
-from probunet_tpu.train.loop import build_probunet, init_probunet_state
+from probunet_tpu.train.loop import abstract_probunet_state, build_probunet
 from probunet_tpu.train.state import make_optimizer
 from probunet_tpu.utils.logging import progress
 
@@ -50,7 +50,8 @@ def downscale(
 
     model = build_probunet(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
-    template = init_probunet_state(cfg, model, tx)
+    # Abstract (eval_shape) restore template: no real init on the serving path.
+    template = abstract_probunet_state(cfg, model, tx)
     state = restore_checkpoint(checkpoint_dir, template)
     params = jax.device_put(state.params, jax.devices()[0])
 

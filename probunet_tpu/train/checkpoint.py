@@ -33,10 +33,16 @@ def save_checkpoint(directory: str, state: TrainState, name: str = "state") -> s
 
 
 def restore_checkpoint(directory: str, template: TrainState, name: str = "state") -> TrainState:
+    """Restore into ``template``'s structure. The template may be a real state
+    or an abstract one (``jax.ShapeDtypeStruct`` leaves from ``jax.eval_shape``)
+    — orbax restores from shapes/dtypes alone, so serving never pays a real
+    model init just to build the restore target."""
     path = os.path.abspath(os.path.join(directory, name))
+    abstract = any(isinstance(l, jax.ShapeDtypeStruct) for l in jax.tree.leaves(template))
     if ocp is not None:
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, target=jax.device_get(template))
+        target = template if abstract else jax.device_get(template)
+        restored = ckptr.restore(path, target=target)
         return TrainState(*restored) if not isinstance(restored, TrainState) else restored
     flat, treedef = jax.tree.flatten(template)
     data = np.load(os.path.join(path, "state.npz"))

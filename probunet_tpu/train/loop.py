@@ -22,8 +22,7 @@ import numpy as np
 
 from probunet_tpu.config import Config
 from probunet_tpu.data.dataset import ClimexDataset
-from probunet_tpu.models import LinearCNN, ProbabilisticUNet, UNet, bcsd
-from probunet_tpu.models.baselines import day_of_year_365
+from probunet_tpu.models import LinearCNN, ProbabilisticUNet, UNet
 from probunet_tpu.parallel import make_mesh, put_batch, put_replicated
 from probunet_tpu.train import (
     beta_schedule,
@@ -44,10 +43,20 @@ def _compute_dtype(cfg: Config):
 
 
 def load_datasets(cfg: Config) -> Dict[str, ClimexDataset]:
+    """Build the three split datasets. Multi-host: each process ingests only
+    its contiguous shard of the TRAIN years (per-host file sharding, the dask
+    role in reference main.py:12); val/test stay replicated so every process
+    evaluates the same data."""
+    from probunet_tpu.parallel.multihost import process_info, shard_years
+
+    pi, pc = process_info()
     out = {}
     for split in ("train", "val", "test"):
+        years = cfg.years(split)
+        if split == "train" and pc > 1:
+            years = shard_years(years, pi, pc)
         out[split] = ClimexDataset(
-            cfg.datadir, years=cfg.years(split), variables=cfg.variables,
+            cfg.datadir, years=years, variables=cfg.variables,
             coords=cfg.coords, lowres_scale=cfg.lowres_scale,
             time_transform=cfg.timetransform, standardization=cfg.standardization)
     return out
@@ -66,6 +75,7 @@ def build_probunet(cfg: Config) -> ProbabilisticUNet:
         num_blocks=cfg.num_blocks,
         attn_resolutions=tuple(cfg.attn_resolutions),
         dropout=cfg.dropout,
+        fast_attention=cfg.fast_attention,
         remat=cfg.remat,
     )
 
@@ -80,6 +90,23 @@ def init_probunet_state(cfg: Config, model, tx, rng=None):
         jnp.zeros((1, h, w, cfg.nvars)), jnp.zeros((1, h, w, cfg.nvars)),
         method=model.elbo))
     return create_train_state(variables["params"], tx)
+
+
+def abstract_probunet_state(cfg: Config, model, tx):
+    """Shape/dtype-only TrainState via ``jax.eval_shape`` — nothing is
+    materialized. Used as the checkpoint-restore template on the serving path,
+    where a real init costs ~30 s (NOTES.md #4) just to be overwritten."""
+    from probunet_tpu.train.state import TrainState
+
+    h, w = cfg.resolution
+    variables = jax.eval_shape(lambda: model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(0),
+         "dropout": jax.random.key(0)},
+        jnp.zeros((1, h, w, cfg.nvars)), jnp.zeros((1, h, w, cfg.nvars)),
+        method=model.elbo))
+    params = variables["params"]
+    opt_state = jax.eval_shape(tx.init, params)
+    return TrainState(params, opt_state, jax.ShapeDtypeStruct((), jnp.int32))
 
 
 def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
@@ -102,10 +129,17 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
     train_step = make_probunet_train_step(model, tx, cfg.lowres_scale,
                                           cfg.standardization, beta_fn, dtype,
-                                          donate=cfg.donate_state)
+                                          donate=cfg.donate_state, accum=cfg.accum)
     eval_step = make_probunet_eval_step(model, cfg.lowres_scale, cfg.standardization, dtype)
     sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
                                cfg.num_samples, dtype)
+    crps_fn = None
+    if cfg.eval_crps:
+        # Built ONCE here: constructing it inside the epoch loop would create a
+        # fresh jax.jit instance (and a full recompile) every epoch.
+        from probunet_tpu.train import make_crps_eval_fn
+        crps_fn = make_crps_eval_fn(model, cfg.lowres_scale, cfg.standardization,
+                                    cfg.variables, cfg.crps_samples, dtype)
 
     # Device residency: dataset tensors + stats put once. The HR tensor is
     # time-sharded across the mesh when divisible (zero host memory growth),
@@ -136,8 +170,6 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
                           use_wandb=cfg.wandb, wandb_config=vars(cfg) if hasattr(cfg, "__dict__") else None)
     timer = StepTimer(cfg.profile_dir)
-    if cfg.fast_attention:
-        os.environ["PROBUNET_FAST_ATTN"] = "1"   # read at trace time (layers.attention_weights)
     rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
 
@@ -195,10 +227,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
         # ---- optional ensemble CRPS in physical units (reference defines
         # crps_empirical but never wires it; BASELINE config #3) ----
-        if cfg.eval_crps:
-            from probunet_tpu.train import make_crps_eval_fn
-            crps_fn = make_crps_eval_fn(model, cfg.lowres_scale, cfg.standardization,
-                                        cfg.variables, cfg.crps_samples, dtype)
+        if crps_fn is not None:
             acc = {}
             for bi in range(min(vbatches.shape[0], 16)):
                 idx = put_idx(jnp.asarray(vbatches[bi]))
@@ -243,9 +272,9 @@ def _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch):
 def build_baseline_model(cfg: Config):
     if cfg.ds_model == "deterministic_unet":
         # reference baseline/deterministic_unet.py:232,274: width 64, no attention.
-        # cfg.model_channels defaults to the prob-U-Net's 128; an explicit
-        # override (anything != 128) wins, otherwise the baseline uses 64.
-        width = cfg.model_channels if cfg.model_channels != 128 else 64
+        # The baseline width has its own flag so --model_channels (prob-U-Net
+        # width) never silently changes what this builds.
+        width = cfg.baseline_channels
         return UNet(img_resolution=tuple(cfg.resolution), in_channels=cfg.nvars,
                     out_channels=cfg.nvars, label_dim=0, use_diffuse=False,
                     model_channels=width, channel_mult=tuple(cfg.channel_mult),
@@ -274,7 +303,12 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     rngs = {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(cfg.seed + 1)}
     variables = model.init(rngs, jnp.zeros((1, h, w, cfg.nvars)),
                            class_labels=jnp.zeros((1, 1)), train=False)
-    state = put_replicated(create_train_state(variables["params"], tx), mesh)
+    state = create_train_state(variables["params"], tx)
+    if cfg.resume:
+        from probunet_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(cfg.resume, state)
+        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+    state = put_replicated(state, mesh)
 
     train_step = make_deterministic_train_step(model, tx, cfg.lowres_scale,
                                                cfg.standardization, dtype,
@@ -284,12 +318,25 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     mae_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
                                             cfg.variables, reconstruct=True, loss="mae")
 
+    # Same data-residency policy as train_probunet: time-shard the dataset
+    # tensor across the mesh when divisible, or stream host->device batches.
     nd = mesh.devices.size
+    def put_data(a):
+        if nd > 1 and a.shape[0] % nd == 0:
+            return put_batch(a, mesh)
+        return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    hr_train = put_replicated(ds_train.hr_device(), mesh)
-    hr_val = put_replicated(ds_val.hr_device(), mesh)
-    stats_train = put_replicated(ds_train.stats, mesh)
+    streaming = not cfg.device_resident_data
+    if streaming:
+        from probunet_tpu.data.pipeline import compute_lr_stats_streaming
+        stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
+                                                    cfg.standardization)
+        hr_train = stats_train = None
+    else:
+        hr_train = put_data(ds_train.hr_device())
+        stats_train = put_replicated(ds_train.stats, mesh)
+    hr_val = put_data(ds_val.hr_device())
     stats_val = put_replicated(ds_val.stats, mesh)
     ts_train = jnp.asarray(ds_train.timestamps_np)
     ts_val = jnp.asarray(ds_val.timestamps_np)
@@ -303,16 +350,33 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     val_losses = {v: [] for v in cfg.variables}
     step_count = 0
     for epoch in range(1, cfg.num_epochs + 1):
-        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-        for bi in progress(range(batches.shape[0]), desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
-            idx = jnp.asarray(batches[bi])
-            state, metrics = train_step(state, hr_train, stats_train,
-                                        put_idx(idx), ts_train[idx], rng)
-            step_count += 1
-            for i, v in enumerate(cfg.variables):
-                tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
-            if step_count % cfg.log_every == 0:
-                logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+        desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
+        if streaming:
+            from probunet_tpu.data.pipeline import stream_batches
+            nb = len(ds_train) // cfg.batch_size
+            it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
+                                stats_train_np, cfg.standardization,
+                                timestamps_np=ds_train.timestamps_np)
+            arange = put_idx(jnp.arange(cfg.batch_size))
+            for item in progress(it, desc=desc, total=nb):
+                state, metrics = train_step(state, item["hr"], item.get("stats"),
+                                            arange, item["timestamps"], rng)
+                step_count += 1
+                for i, v in enumerate(cfg.variables):
+                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
+                if step_count % cfg.log_every == 0:
+                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+        else:
+            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+            for bi in progress(range(batches.shape[0]), desc=desc):
+                idx = jnp.asarray(batches[bi])
+                state, metrics = train_step(state, hr_train, stats_train,
+                                            put_idx(idx), ts_train[idx], rng)
+                step_count += 1
+                for i, v in enumerate(cfg.variables):
+                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
+                if step_count % cfg.log_every == 0:
+                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
         vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
         for bi in range(vbatches.shape[0]):
             idx = jnp.asarray(vbatches[bi])
@@ -344,21 +408,69 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses, "mae": mae}
 
 
-def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset]) -> Dict:
-    """BCSD baseline on the validation and test splits."""
+def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset],
+             chunk: int = 1024) -> Dict:
+    """BCSD baseline on the validation and test splits, chunked.
+
+    The day-of-year climatologies are accumulated over time-chunks (segment
+    sums into a fixed (365, H, W, C) buffer) and predictions stream chunk by
+    chunk, so device memory is O(chunk + 365 tiles) instead of O(full split) —
+    the full ClimEx domain at century scale never materializes in HBM.
+    """
     from probunet_tpu.data import transforms
+
     ds_train = datasets["train"]
+    t_all, h, w, c = ds_train.hr_np.shape
+    chunk = min(chunk, t_all)
+
+    @jax.jit
+    def accum(num, den, cnt, hr, doy):
+        lri = transforms.make_pair(hr, cfg.lowres_scale, "none", None)["lrinterp"]
+        num = num + jax.ops.segment_sum(hr, doy, num_segments=365)
+        den = den + jax.ops.segment_sum(lri, doy, num_segments=365)
+        cnt = cnt + jax.ops.segment_sum(jnp.ones_like(doy, hr.dtype), doy,
+                                        num_segments=365)
+        return num, den, cnt
+
+    num = jnp.zeros((365, h, w, c))
+    den = jnp.zeros((365, h, w, c))
+    cnt = jnp.zeros((365,))
+    doy_train = ds_train.dayofyear
+    # pad the tail chunk so one program shape serves the whole pass
+    for lo in range(0, t_all, chunk):
+        hr_c = ds_train.hr_np[lo:lo + chunk]
+        doy_c = doy_train[lo:lo + chunk]
+        if hr_c.shape[0] < chunk:
+            pad = chunk - hr_c.shape[0]
+            hr_c = np.concatenate([hr_c, np.zeros((pad, h, w, c), hr_c.dtype)])
+            doy_c = np.concatenate([doy_c, np.full((pad,), 364, doy_c.dtype)])
+            num, den, cnt = accum(num, den, cnt, jnp.asarray(hr_c), jnp.asarray(doy_c))
+            cnt = cnt.at[364].add(-pad)  # padded rows were zero fields; fix the count
+        else:
+            num, den, cnt = accum(num, den, cnt, jnp.asarray(hr_c), jnp.asarray(doy_c))
+    cnt_c = jnp.maximum(cnt, 1.0)[:, None, None, None]
+    scale = (num / cnt_c) / (den / cnt_c + 1e-9)
+
+    @jax.jit
+    def predict(hr, doy):
+        lri = transforms.make_pair(hr, cfg.lowres_scale, "none", None)["lrinterp"]
+        preds = lri * scale[doy]
+        abs_err = jnp.abs(preds - hr).mean(axis=(0, 1, 2))  # per-variable
+        return preds, abs_err
+
     out = {}
-    train_pair = transforms.make_pair(ds_train.hr_device(), cfg.lowres_scale, "none", None)
     for split in ("val", "test"):
         ds = datasets[split]
-        pair = transforms.make_pair(ds.hr_device(), cfg.lowres_scale, "none", None)
-        preds = bcsd(ds_train.hr_device(), train_pair["lrinterp"], pair["lrinterp"],
-                     jnp.asarray(ds_train.dayofyear), jnp.asarray(ds.dayofyear))
-        mae = {}
-        for i, v in enumerate(cfg.variables):
-            d = jnp.abs(preds[..., i] - ds.hr_device()[..., i])
-            mae[v] = float(d.mean())
+        doy = ds.dayofyear
+        pred_chunks, err_sum, n_chunks = [], 0.0, 0
+        for lo in range(0, len(ds), chunk):
+            hr_c = jnp.asarray(ds.hr_np[lo:lo + chunk])
+            preds, abs_err = predict(hr_c, jnp.asarray(doy[lo:lo + chunk]))
+            pred_chunks.append(np.asarray(preds))
+            err_sum = err_sum + np.asarray(abs_err, np.float64) * hr_c.shape[0]
+            n_chunks += hr_c.shape[0]
+        preds = np.concatenate(pred_chunks, axis=0)
+        mae = {v: float(err_sum[i] / n_chunks) for i, v in enumerate(cfg.variables)}
         out[split] = {"preds": preds, "mae": mae}
         print(f"BCSD {split} MAE:", mae)
     return out

@@ -52,9 +52,18 @@ def _split_rngs(rng: jax.Array, step: jax.Array):
 
 
 def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
-                        beta_fn: Optional[Callable], compute_dtype):
-    """Unjitted single-step body shared by the per-step and scanned variants."""
+                        beta_fn: Optional[Callable], compute_dtype, accum: int = 1):
+    """Unjitted single-step body shared by the per-step and scanned variants.
+
+    Accumulation semantics: ``state.step`` counts MICRO-steps (it increments on
+    every call even when optax.MultiSteps is only accumulating), so the β
+    schedule is driven by the *optimizer* step ``state.step // accum`` — all
+    micro-steps of one accumulation window see the same β, and
+    ``beta_warmup_steps`` means optimizer updates regardless of ``accum``. The
+    RNG fold stays on the micro-step so each micro-batch draws distinct
+    latent/dropout noise."""
     beta_fn = beta_fn or (lambda step: jnp.float32(model.beta))
+    accum = max(1, int(accum))
 
     def step(state: TrainState, hr_all, stats, idx, rng):
         hr = hr_all[idx]
@@ -62,7 +71,7 @@ def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
         pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
         x = pair["inputs"].astype(compute_dtype)
         y = pair["targets"].astype(compute_dtype)
-        beta = beta_fn(state.step)
+        beta = beta_fn(state.step // accum)
         rngs = _split_rngs(rng, state.step)
 
         def loss_fn(params):
@@ -89,13 +98,17 @@ def make_probunet_train_step(
     beta_fn: Optional[Callable] = None,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    accum: int = 1,
 ):
     """Returns step(state, hr_all, stats, idx, rng) -> (state, metrics).
 
     hr_all: (T, H, W, C) device-resident dataset tensor; idx: (B,) int batch
-    indices; stats: split statistics from ClimexDataset.stats.
+    indices; stats: split statistics from ClimexDataset.stats. ``accum`` must
+    match the optimizer's MultiSteps window (β-schedule semantics, see
+    :func:`_probunet_step_body`).
     """
-    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn, compute_dtype)
+    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn,
+                               compute_dtype, accum)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -107,6 +120,7 @@ def make_probunet_train_multistep(
     beta_fn: Optional[Callable] = None,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    accum: int = 1,
 ):
     """K training steps in ONE XLA program via lax.scan.
 
@@ -114,7 +128,8 @@ def make_probunet_train_multistep(
     optimizer steps and returns per-step stacked metrics. Amortizes host
     dispatch (decisive when the chip sits behind a network tunnel) and lets
     XLA overlap the batch gather of step k+1 with the math of step k."""
-    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn, compute_dtype)
+    step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn,
+                               compute_dtype, accum)
 
     def multi(state, hr_all, stats, idxs, rng):
         def body(carry, idx):

@@ -73,3 +73,36 @@ def run_sweep(sweep_path: str, base_cfg: Config, out_path: Optional[str] = None,
         with open(out_path, "w") as f:
             json.dump(out, f, indent=2)
     return out
+
+
+def run_wandb_agent(sweep_path: str, base_cfg: Config, train_fn=None,
+                    count: Optional[int] = None, project: Optional[str] = None) -> str:
+    """Drive the sweep through a real wandb agent — the reference's workflow
+    (``wandb sweep sweeps.yaml && wandb agent <id>``, sweeps.yaml:1-14).
+    Requires wandb to be importable; the local grid (:func:`run_sweep`) is the
+    fallback. The metric is reported under the sweep's own declared name, so
+    the reference YAML's ``val-loss`` spelling optimizes correctly here even
+    though the training loop logs ``val_loss``."""
+    import wandb
+
+    from probunet_tpu.train.loop import train_probunet
+
+    sweep = load_sweep(sweep_path)
+    raw_metric = (sweep.get("metric") or {}).get("name", "val_loss")
+    metric = _metric_name(sweep)
+    train_fn = train_fn or (lambda cfg: train_probunet(cfg, make_plots=False))
+    sweep_id = wandb.sweep(sweep, project=project or sweep.get("project", "probunet_tpu"))
+
+    def _run():
+        with wandb.init() as run:
+            overrides = {k: v for k, v in dict(run.config).items()
+                         if hasattr(base_cfg, k)}
+            overrides["wandb"] = False  # the agent owns the run; avoid nesting
+            cfg = base_cfg.replace(**overrides)
+            result = train_fn(cfg)
+            value = (result["val_losses"][-1] if metric in ("val_loss",)
+                     else result.get(metric))
+            run.log({raw_metric: float(value)})
+
+    wandb.agent(sweep_id, function=_run, count=count)
+    return sweep_id

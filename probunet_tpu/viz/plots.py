@@ -65,8 +65,11 @@ def _panel(ax, lon, lat, field, cmap, vmin, vmax):
         im = ax.pcolormesh(lon, lat, field, cmap=cmap, vmin=vmin, vmax=vmax,
                            transform=transform)
         ax.coastlines()
-        gl = ax.gridlines(crs=transform, draw_labels=False, linestyle="--")
-        del gl
+        # labeled gridlines, top/right hidden (climex_utils.py:271-273)
+        gl = ax.gridlines(crs=transform, draw_labels=True, x_inline=False,
+                          y_inline=False, linestyle="--")
+        gl.top_labels = False
+        gl.right_labels = False
     else:
         im = ax.pcolormesh(lon, lat, field, cmap=cmap, vmin=vmin, vmax=vmax)
         ax.set_xticks([])

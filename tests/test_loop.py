@@ -59,7 +59,7 @@ def test_train_probunet_e2e(datadir, tmp_path):
 
 def test_train_baseline_unet_e2e(datadir, tmp_path):
     cfg = _cfg(datadir, tmp_path, ds_model="deterministic_unet", num_epochs=1,
-               model_channels=8)
+               baseline_channels=8)
     res = train_baseline(cfg, make_plots=True)
     for v in cfg.variables:
         assert np.isfinite(res["mae"][v])
@@ -83,3 +83,42 @@ def test_bcsd_e2e(datadir, tmp_path):
     for split in out.values():
         assert np.asarray(split["preds"]).shape == (30, 32, 32, 3)
         assert all(np.isfinite(m) for m in split["mae"].values())
+
+
+def test_bcsd_chunked_matches_unchunked(datadir, tmp_path):
+    """Chunked climatology accumulation (with a padded tail chunk) must equal
+    the one-shot segment-sum implementation."""
+    import jax.numpy as jnp
+    from probunet_tpu.data import transforms
+    from probunet_tpu.models import bcsd
+
+    cfg = _cfg(datadir, tmp_path, ds_model="bcsd")
+    datasets = load_datasets(cfg)
+    out = run_bcsd(cfg, datasets, chunk=7)  # 30 days -> 4 full chunks + tail of 2
+    ds_train, ds_val = datasets["train"], datasets["val"]
+    train_pair = transforms.make_pair(ds_train.hr_device(), cfg.lowres_scale, "none", None)
+    val_pair = transforms.make_pair(ds_val.hr_device(), cfg.lowres_scale, "none", None)
+    ref = bcsd(ds_train.hr_device(), train_pair["lrinterp"], val_pair["lrinterp"],
+               jnp.asarray(ds_train.dayofyear), jnp.asarray(ds_val.dayofyear))
+    np.testing.assert_allclose(out["val"]["preds"], np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_train_baseline_streaming_mode(datadir, tmp_path):
+    """Baseline loop in host-resident streaming mode (device_resident_data=False)."""
+    cfg = _cfg(datadir, tmp_path, ds_model="linearcnn", num_epochs=1,
+               device_resident_data=False)
+    res = train_baseline(cfg, make_plots=False)
+    assert all(np.isfinite(res["mae"][v]) for v in cfg.variables)
+
+
+def test_train_baseline_resume(datadir, tmp_path):
+    """Baseline resume: a second run starting from the checkpoint continues
+    at the saved step."""
+    cfg = _cfg(datadir, tmp_path, ds_model="linearcnn", num_epochs=1)
+    res1 = train_baseline(cfg, make_plots=False)
+    steps1 = int(np.asarray(res1["state"].step))
+    assert steps1 > 0
+    ckpt = os.path.join(cfg.checkpoints_dir, "linearcnn")
+    cfg2 = _cfg(datadir, tmp_path, ds_model="linearcnn", num_epochs=1, resume=ckpt)
+    res2 = train_baseline(cfg2, make_plots=False)
+    assert int(np.asarray(res2["state"].step)) == 2 * steps1

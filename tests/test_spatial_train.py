@@ -1,0 +1,158 @@
+"""Spatially-sharded TRAINING: sharded ELBO loss and gradients must equal the
+unsharded model's, and the full sharded train step must optimize."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from probunet_tpu.models import ProbabilisticUNet
+from probunet_tpu.parallel import make_mesh
+from probunet_tpu.parallel.spatial_train import (
+    make_spatial_eval_elbo,
+    make_spatial_probunet_train_step,
+    put_spatial,
+)
+from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
+from probunet_tpu.train import create_train_state
+from probunet_tpu.train.state import make_optimizer
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+
+ARCH = dict(num_filters=(16, 32), model_channels=32, channel_mult=(1, 2),
+            num_blocks=1, attn_resolutions=(16,))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((-1,), ("space",))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    m = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=4,
+                          img_resolution=(32, 32), dropout=0.0, **ARCH)
+    x = jnp.zeros((1, 32, 32, 3))
+    rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+    v = m.init(rngs, x, x, method=m.elbo)
+    keys = iter(jax.random.split(jax.random.key(123), 10_000))
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(next(keys), p.shape, p.dtype),
+        v["params"])
+    return m, params
+
+
+def _data(seed=0, b=2, hw=32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, hw, hw, 3)), jnp.float32)
+    return x, y
+
+
+class TestShardedElboGradParity:
+    def test_loss_and_grads_match_unsharded(self, mesh, model_and_params):
+        """jax.grad OUTSIDE the shard_map'd ELBO == grad of the unsharded ELBO
+        (same explicit z; dropout off). This is the correctness proof for the
+        spatially-sharded training step: the replicated-params transpose must
+        psum the per-device cotangents without double-counting the replicated
+        KL path."""
+        m, params = model_and_params
+        x, y = _data(0)
+        z = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4)), jnp.float32)
+        beta = jnp.float32(0.7)
+
+        def ref_loss(p):
+            total, recon, kl = m.apply({"params": p}, x, y, z, beta,
+                                       method=m.elbo_with_z)
+            return total, (recon, kl)
+
+        (ref_total, (ref_recon, ref_kl)), ref_grads = (
+            jax.value_and_grad(ref_loss, has_aux=True)(params))
+
+        def sharded_loss(p):
+            def body(p, xl, yl):
+                return spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
+                                             beta=beta, z=z, **ARCH)
+            fn = shard_map(body, mesh=mesh,
+                           in_specs=(P(), P(None, "space"), P(None, "space")),
+                           out_specs=(P(), P(), P()))
+            total, recon, kl = fn(p, x, y)
+            return total, (recon, kl)
+
+        (sh_total, (sh_recon, sh_kl)), sh_grads = jax.jit(
+            jax.value_and_grad(sharded_loss, has_aux=True))(params)
+
+        np.testing.assert_allclose(float(sh_total), float(ref_total), rtol=1e-4)
+        np.testing.assert_allclose(float(sh_recon), float(ref_recon), rtol=1e-4)
+        np.testing.assert_allclose(float(sh_kl), float(ref_kl), rtol=1e-4)
+        flat_ref = jax.tree.leaves(ref_grads)
+        flat_sh = jax.tree.leaves(sh_grads)
+        assert len(flat_ref) == len(flat_sh)
+        for a, b in zip(flat_ref, flat_sh):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_remat_grads_identical(self, mesh, model_and_params):
+        """Per-block rematerialization must not change gradients (beyond float
+        reassociation noise from the recompute's different fusion order)."""
+        m, params = model_and_params
+        x, y = _data(2)
+        z = jnp.asarray(np.random.default_rng(3).standard_normal((2, 4)), jnp.float32)
+
+        def loss(p, remat):
+            def body(p, xl, yl):
+                t, _, _ = spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
+                                                z=z, remat=remat, **ARCH)
+                return t
+            fn = shard_map(body, mesh=mesh,
+                           in_specs=(P(), P(None, "space"), P(None, "space")),
+                           out_specs=P())
+            return fn(p, x, y)
+
+        g0 = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+        g1 = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+
+class TestSpatialTrainStep:
+    def test_step_runs_and_optimizes(self, mesh, model_and_params):
+        """The jitted sharded train step (dropout on, remat on) decreases the
+        ELBO over repeated steps on one batch."""
+        m, params = model_and_params
+        m_dropout = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=4,
+                                      img_resolution=(32, 32), dropout=0.1, **ARCH)
+        tx = make_optimizer(lr=1e-3)
+        state = create_train_state(params, tx)
+        x, y = _data(4, b=4)
+        x = put_spatial(x, mesh)
+        y = put_spatial(y, mesh)
+        step = make_spatial_probunet_train_step(m_dropout, tx, mesh,
+                                                donate=False, remat=True)
+        rng = jax.random.key(5)
+        first = None
+        for _ in range(30):
+            state, metrics = step(state, x, y, rng)
+            if first is None:
+                first = float(metrics["train_loss"])
+        last = float(metrics["train_loss"])
+        assert np.isfinite(last)
+        assert last < first, f"sharded training should reduce ELBO: {first} -> {last}"
+        assert int(state.step) == 30
+
+    def test_eval_elbo_deterministic_given_rng(self, mesh, model_and_params):
+        m, params = model_and_params
+        x, y = _data(6)
+        x = put_spatial(x, mesh)
+        y = put_spatial(y, mesh)
+        ev = make_spatial_eval_elbo(m, mesh)
+        m1 = ev(params, x, y, jax.random.key(7), jnp.float32(1.0))
+        m2 = ev(params, x, y, jax.random.key(7), jnp.float32(1.0))
+        assert float(m1["val_loss"]) == float(m2["val_loss"])
