@@ -54,13 +54,16 @@ def main():
     # RNG. BENCH_MODE=strict keeps the reference's fp32 attention + threefry.
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
     rng_impl = "unsafe_rbg" if fast else "threefry2x32"
-    log(f"mode: {'fast (bf16 attn, unsafe_rbg rng)' if fast else 'strict parity'}")
+    # fast = production mode: fused Pallas attention with bf16 QK^T, unsafe_rbg
+    # dropout RNG, bf16 AdamW mu/grads (the optimizer is HBM-bandwidth-bound).
+    opt_state_dtype = "bfloat16" if fast else "float32"
+    log(f"mode: {'fast (bf16 attn, unsafe_rbg rng, bf16 adam mu/grads)' if fast else 'strict parity'}")
 
     log(f"devices: {jax.devices()}")
     model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=6,
                               num_filters=(64, 128, 256, 512),
                               img_resolution=(res, res), fast_attention=fast)
-    tx = make_optimizer(lr=1e-3)
+    tx = make_optimizer(lr=1e-3, state_dtype=opt_state_dtype)
     x0 = jnp.zeros((1, res, res, 3))
     rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
             "dropout": jax.random.key(2)}

@@ -53,6 +53,7 @@ class Config:
     beta_warmup_steps: int = 0      # counts OPTIMIZER updates (micro-steps / accum), see steps.py
     optimizer: str = "adamw"
     weight_decay: float = 0.01      # torch AdamW default
+    opt_state_dtype: str = "float32"  # {"float32","bfloat16"}: bf16 m/v/grads = production bandwidth mode
     seed: int = 42
 
     # --- numerics / TPU ---
@@ -90,6 +91,8 @@ class Config:
             raise ValueError(f"unknown timetransform {self.timetransform!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.opt_state_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown opt_state_dtype {self.opt_state_dtype!r}")
 
     # ---- convenience ----
     @property

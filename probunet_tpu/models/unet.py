@@ -34,7 +34,6 @@ from probunet_tpu.models.layers import (
     Init,
     Linear,
     PositionalEmbedding,
-    attention_weights,
     silu,
 )
 
@@ -98,6 +97,8 @@ class UNetBlock(nn.Module):
         x = (x + orig) * self.skip_scale
 
         if self.heads:
+            from probunet_tpu.ops.pallas_attn import fused_attention
+
             b, h, w, c = x.shape
             nh = self.heads
             y = Conv2d(c, c * 3, 1, init=(self.init_attn or self.init), name="qkv")(
@@ -107,8 +108,9 @@ class UNetBlock(nn.Module):
             # same factorization on the trailing axis (networks.py:180).
             y = y.reshape(b, h * w, nh, c // nh, 3)
             q, k, v = y[..., 0], y[..., 1], y[..., 2]
-            wgt = attention_weights(q, k, self.fast_attention)  # (B, nh, L, L) fp32->x.dtype
-            a = jnp.einsum("bhqk,bkhc->bqhc", wgt, v)
+            # Fused Pallas attention on TPU (weights never hit HBM); identical
+            # math to attention_weights + PV einsum, which remains the fallback.
+            a = fused_attention(q, k, v, self.fast_attention)
             a = a.reshape(b, h, w, c)
             x = (x + Conv2d(c, c, 1, init=self.init_zero, name="proj")(a)) * self.skip_scale
         return x

@@ -49,7 +49,8 @@ def downscale(
         lowres_scale=cfg.lowres_scale, standardization=cfg.standardization)
 
     model = build_probunet(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
+                        state_dtype=cfg.opt_state_dtype)
     # Abstract (eval_shape) restore template: no real init on the serving path.
     template = abstract_probunet_state(cfg, model, tx)
     state = restore_checkpoint(checkpoint_dir, template)

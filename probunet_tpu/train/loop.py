@@ -117,7 +117,8 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
 
     model = build_probunet(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
+                        state_dtype=cfg.opt_state_dtype)
     state = init_probunet_state(cfg, model, tx)
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
@@ -298,7 +299,8 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         return run_bcsd(cfg, datasets)
 
     model = build_baseline_model(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
+                        state_dtype=cfg.opt_state_dtype)
     h, w = cfg.resolution
     rngs = {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(cfg.seed + 1)}
     variables = model.init(rngs, jnp.zeros((1, h, w, cfg.nvars)),

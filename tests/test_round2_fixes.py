@@ -196,6 +196,63 @@ class TestStreamingStatsPrecision:
         np.testing.assert_allclose(std_s, std_ref, rtol=2e-3)
 
 
+class TestBF16OptState:
+    def test_bf16_state_converges_and_dtypes(self):
+        """Production bandwidth mode: bf16 mu/grads (nu stays fp32 — its
+        per-step increment is below bf16 resolution and bf16 nu stalls
+        convergence). The ELBO must still optimize, mu must actually be stored
+        in bf16, and params stay fp32."""
+        import optax
+
+        model = _tiny_model()
+        tx = make_optimizer(lr=3e-3, state_dtype="bfloat16")
+        state = _init_state(model, tx)
+        adam_state = [s for s in jax.tree.leaves(
+                          state.opt_state,
+                          is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+                      if isinstance(s, optax.ScaleByAdamState)]
+        assert adam_state, "bf16 optimizer must expose ScaleByAdamState"
+        assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(adam_state[0].mu))
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(adam_state[0].nu))
+        hr = _hr(seed=9)
+        stats = transforms.compute_lr_stats(hr, 4, "perpixel")
+        step = make_probunet_train_step(model, tx, 4, "perpixel", donate=False)
+        tx32 = make_optimizer(lr=3e-3, state_dtype="float32")
+        state32 = _init_state(model, tx32)
+        step32 = make_probunet_train_step(model, tx32, 4, "perpixel", donate=False)
+        rng = jax.random.key(11)
+        first = None
+        for _ in range(60):
+            state, m = step(state, hr, stats, jnp.arange(8), rng)
+            state32, m32 = step32(state32, hr, stats, jnp.arange(8), rng)
+            if first is None:
+                first = float(m["train_loss"])
+        last, last32 = float(m["train_loss"]), float(m32["train_loss"])
+        assert np.isfinite(last) and last < first, f"{first} -> {last}"
+        # bf16 storage must not change the optimization trajectory materially
+        np.testing.assert_allclose(last, last32, rtol=2e-2)
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+    def test_bf16_state_tracks_fp32_early(self):
+        """First steps of bf16-state AdamW stay close to fp32 AdamW (same
+        update math, only storage rounding differs)."""
+        model = _tiny_model()
+        tx32 = make_optimizer(lr=1e-3, state_dtype="float32")
+        tx16 = make_optimizer(lr=1e-3, state_dtype="bfloat16")
+        s32 = _init_state(model, tx32)
+        s16 = _init_state(model, tx16)
+        hr = _hr(seed=10)
+        stats = transforms.compute_lr_stats(hr, 4, "perpixel")
+        st32 = make_probunet_train_step(model, tx32, 4, "perpixel", donate=False)
+        st16 = make_probunet_train_step(model, tx16, 4, "perpixel", donate=False)
+        rng = jax.random.key(12)
+        for _ in range(3):
+            s32, m32 = st32(s32, hr, stats, jnp.arange(8), rng)
+            s16, m16 = st16(s16, hr, stats, jnp.arange(8), rng)
+        np.testing.assert_allclose(float(m16["train_loss"]), float(m32["train_loss"]),
+                                   rtol=5e-3)
+
+
 class TestBaselineChannels:
     def test_explicit_model_channels_does_not_leak_into_baseline(self):
         from probunet_tpu.config import Config
