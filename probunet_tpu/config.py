@@ -67,6 +67,7 @@ class Config:
     # --- parallelism ---
     mesh_shape: Tuple[int, ...] = (-1,)          # -1 => all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
+    parallel_mode: str = "data"    # {"data", "spatial"}: spatial = H-axis model parallelism
     device_resident_data: bool = True            # keep the full HR tensor in HBM
 
     # --- observability ---
@@ -93,6 +94,8 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.opt_state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown opt_state_dtype {self.opt_state_dtype!r}")
+        if self.parallel_mode not in ("data", "spatial"):
+            raise ValueError(f"unknown parallel_mode {self.parallel_mode!r}")
 
     # ---- convenience ----
     @property

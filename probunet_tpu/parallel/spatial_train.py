@@ -24,9 +24,20 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(*args, **kw):
+    """shard_map with varying-mesh-axes checking off: the Pallas kernels inside
+    (fused attention) declare pallas_call out_shapes without `vma`, which the
+    checker rejects on TPU. Gradient correctness with the checker off is
+    covered by tests/test_spatial_train.py's sharded==unsharded grad parity."""
+    try:
+        return _shard_map(*args, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        return _shard_map(*args, check_rep=False, **kw)
 
 from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
 from probunet_tpu.train.state import TrainState
@@ -98,6 +109,111 @@ def make_spatial_probunet_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def train_probunet_spatial(cfg, datasets=None):
+    """Experiment driver for tiles beyond one chip's HBM: the height axis is
+    sharded across ALL devices (model parallelism), batches stream from host,
+    and every train/eval step is the shard_map'd ELBO. The counterpart of
+    ``train.loop.train_probunet`` for ``--parallel_mode spatial``.
+
+    Plot generation is intentionally not wired here (an H-gathered ensemble
+    decode exists in ``spatial_unet.spatial_probunet_forward`` for offline
+    use); metrics/checkpoints match the DP loop's contract.
+    """
+    import os
+
+    import numpy as np
+
+    from probunet_tpu.data import transforms
+    from probunet_tpu.data.pipeline import compute_lr_stats_streaming
+    from probunet_tpu.parallel import make_mesh
+    from probunet_tpu.train.checkpoint import save_checkpoint
+    from probunet_tpu.train.loop import build_probunet, init_probunet_state, load_datasets
+    from probunet_tpu.train.state import make_optimizer
+    from probunet_tpu.train.steps import beta_schedule
+    from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
+
+    axis = "space"
+    mesh = make_mesh((-1,), (axis,))
+    datasets = datasets or load_datasets(cfg)
+    ds_train, ds_val = datasets["train"], datasets["val"]
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    model = build_probunet(cfg)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
+                        state_dtype=cfg.opt_state_dtype)
+    state = init_probunet_state(cfg, model, tx)
+    if cfg.resume:
+        from probunet_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(cfg.resume, state)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
+    step = make_spatial_probunet_train_step(model, tx, mesh, axis, beta_fn,
+                                            dtype, donate=cfg.donate_state,
+                                            remat=cfg.remat, accum=cfg.accum)
+    eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype)
+
+    # Host-resident data (the whole point of this mode); global stats streamed.
+    stats_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
+                                          cfg.standardization)
+    pair_fn = jax.jit(lambda hr, sl: transforms.make_pair(
+        hr, cfg.lowres_scale, cfg.standardization, sl))
+
+    def batch_xy(ds, idx, stats):
+        hr = jnp.asarray(ds.hr_np[idx])
+        sl = None
+        if stats is not None:
+            sl = transforms.slice_stats(
+                tuple(jnp.asarray(s) for s in stats), cfg.standardization,
+                jnp.asarray(idx))
+        pair = pair_fn(hr, sl)
+        return put_spatial(pair["inputs"], mesh, axis), put_spatial(pair["targets"], mesh, axis)
+
+    stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
+                                              cfg.standardization)
+    os.makedirs(cfg.plotdir, exist_ok=True)
+    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
+                          use_wandb=cfg.wandb)
+    timer = StepTimer(cfg.profile_dir)
+    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
+    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
+
+    tr_losses, val_losses = [], []
+    step_count = 0
+    for epoch in range(1, cfg.num_epochs + 1):
+        running = []
+        timer.reset()
+        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+        for bi in progress(range(batches.shape[0]),
+                           desc=f"Train(spatial) :: Epoch: {epoch}/{cfg.num_epochs}"):
+            x, y = batch_xy(ds_train, batches[bi], stats_np)
+            state, metrics = step(state, x, y, rng)
+            step_count += 1
+            timer.tick(cfg.batch_size)
+            running.append(metrics["train_loss"])
+            if step_count % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["samples_per_sec"] = timer.rate()
+                logger.log(m, step=step_count)
+        tr_losses.append(float(jnp.mean(jnp.stack(running))))
+
+        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+        vloss = []
+        for bi in range(vbatches.shape[0]):
+            x, y = batch_xy(ds_val, vbatches[bi], stats_val_np)
+            m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
+                        jnp.float32(cfg.beta))
+            vloss.append(m["val_loss"])
+        val_losses.append(float(jnp.mean(jnp.stack(vloss))))
+        logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
+                    "val_loss": val_losses[-1]}, step=step_count)
+        save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
+                        jax.device_get(state))
+    logger.close()
+    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses,
+            "samples_per_sec": timer.rate()}
 
 
 def make_spatial_eval_elbo(model, mesh, axis_name: str = "space",

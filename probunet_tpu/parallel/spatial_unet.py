@@ -27,7 +27,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from probunet_tpu.models.layers import attention_weights
 from probunet_tpu.models.unet import build_unet_plan
 from probunet_tpu.ops.norm import num_groups_for
 from probunet_tpu.parallel.spatial import (
@@ -130,6 +129,8 @@ def _block(p: Dict, x: jax.Array, spec, axis_name: str,
     # heads = C // 64 (networks.py:143); attention is a no-op when heads == 0,
     # in which case the flax module created no qkv/proj params either.
     if spec.attention and "qkv" in p:
+        from probunet_tpu.ops.pallas_attn import fused_attention
+
         # gather the (small, coarse) map; full attention locally; slice back
         full = spatial_attention(x, axis_name)                 # (B, H, W, C)
         bq, hh, ww, c = full.shape
@@ -137,8 +138,7 @@ def _block(p: Dict, x: jax.Array, spec, axis_name: str,
         y = _conv(p["qkv"], _gn_full(p["norm2"], full), axis_name=None)
         y = y.reshape(bq, hh * ww, nh, c // nh, 3)
         q, k, v = y[..., 0], y[..., 1], y[..., 2]
-        wgt = attention_weights(q, k)
-        a = jnp.einsum("bhqk,bkhc->bqhc", wgt, v).reshape(bq, hh, ww, c)
+        a = fused_attention(q, k, v).reshape(bq, hh, ww, c)
         proj = _conv(p["proj"], a, axis_name=None)
         x = x + local_rows(proj, axis_name)
     return x

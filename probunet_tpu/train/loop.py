@@ -112,6 +112,11 @@ def abstract_probunet_state(cfg: Config, model, tx):
 def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                    make_plots: bool = True) -> Dict:
     """The reference ``main.py`` pipeline, TPU-native."""
+    if cfg.parallel_mode == "spatial":
+        # H-axis model parallelism for tiles beyond one chip's HBM: the whole
+        # ELBO runs inside a shard_map (halo convs, psum GN, sharded dropout).
+        from probunet_tpu.parallel.spatial_train import train_probunet_spatial
+        return train_probunet_spatial(cfg, datasets)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]

@@ -18,10 +18,9 @@ from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
 from probunet_tpu.train import create_train_state
 from probunet_tpu.train.state import make_optimizer
 
-try:
-    from jax import shard_map
-except ImportError:
-    from jax.experimental.shard_map import shard_map
+# the production wrapper (check_vma off — required for Pallas kernels inside);
+# grad parity below therefore proves correctness of the production config
+from probunet_tpu.parallel.spatial_train import shard_map
 
 
 ARCH = dict(num_filters=(16, 32), model_channels=32, channel_mult=(1, 2),
@@ -146,6 +145,32 @@ class TestSpatialTrainStep:
         assert np.isfinite(last)
         assert last < first, f"sharded training should reduce ELBO: {first} -> {last}"
         assert int(state.step) == 30
+
+    def test_parallel_mode_spatial_e2e(self, tmp_path):
+        """train_probunet with --parallel_mode spatial: full epoch loop on
+        synthetic host data, metrics + checkpoint produced, losses finite."""
+        import os
+
+        from probunet_tpu.config import Config
+        from probunet_tpu.data.dataset import ClimexDataset
+        from probunet_tpu.train.loop import train_probunet
+
+        rng = np.random.default_rng(0)
+        def mkds(t):
+            hr = rng.standard_normal((t, 32, 32, 3)).astype(np.float32) + 2.0
+            return ClimexDataset(hr=hr, standardization="perpixel", lowres_scale=4)
+        datasets = {"train": mkds(8), "val": mkds(4), "test": mkds(4)}
+        cfg = Config(resolution=(32, 32), latent_dim=4, num_filters=(16, 32),
+                     model_channels=32, channel_mult=(1, 2), num_blocks=1,
+                     attn_resolutions=(16,), dropout=0.1, batch_size=4,
+                     num_epochs=2, parallel_mode="spatial", remat=True,
+                     plotdir=os.path.join(str(tmp_path), "plots"),
+                     checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
+        res = train_probunet(cfg, datasets=datasets, make_plots=False)
+        assert len(res["tr_losses"]) == 2
+        assert np.isfinite(res["tr_losses"]).all() and np.isfinite(res["val_losses"]).all()
+        assert os.path.isdir(os.path.join(cfg.checkpoints_dir, "probunet"))
+        assert os.path.exists(os.path.join(cfg.plotdir, "metrics.jsonl"))
 
     def test_eval_elbo_deterministic_given_rng(self, mesh, model_and_params):
         m, params = model_and_params
