@@ -212,7 +212,8 @@ def fused_attention(q, k, v, fast: bool = False, force: str = "auto"):
 def _use_pallas(q, force) -> bool:
     import os
 
-    if force == "auto" and os.environ.get("PROBUNET_DISABLE_PALLAS"):
+    if force == "auto" and (os.environ.get("PROBUNET_DISABLE_PALLAS")
+                            or os.environ.get("PROBUNET_DISABLE_PALLAS_ATTN")):
         force = "xla"
     return (force in ("pallas", "interpret")
             or (force == "auto" and HAS_PALLAS and _on_tpu(q) and _kernel_ok(q)))

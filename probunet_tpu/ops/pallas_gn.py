@@ -138,7 +138,8 @@ def gn_silu(x, weight, bias, groups: int, eps: float = 1e-5, force: str = "auto"
 def _gn_silu_fwd_impl(x, weight, bias, groups, eps, force):
     import os
 
-    if force == "auto" and os.environ.get("PROBUNET_DISABLE_PALLAS"):
+    if force == "auto" and (os.environ.get("PROBUNET_DISABLE_PALLAS")
+                            or os.environ.get("PROBUNET_DISABLE_PALLAS_GN")):
         force = "xla"
     use_pallas = (
         force in ("pallas", "interpret")
