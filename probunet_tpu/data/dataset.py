@@ -92,7 +92,11 @@ class ClimexDataset:
 
     # ---- device residency ----
     def hr_device(self, sharding=None) -> jax.Array:
-        if self._hr_dev is None:
+        """Device-resident HR tensor, cached per placement: a call with a
+        DIFFERENT sharding than the cached copy re-places the tensor (and
+        replaces the cache) instead of silently returning the old placement."""
+        if self._hr_dev is None or (sharding is not None
+                                    and self._hr_dev.sharding != sharding):
             arr = jnp.asarray(self.hr_np)
             self._hr_dev = jax.device_put(arr, sharding) if sharding is not None else arr
         return self._hr_dev

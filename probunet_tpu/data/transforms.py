@@ -128,9 +128,14 @@ def slice_stats(stats: Optional[Stats], standardization: str, idx: jax.Array) ->
 
 
 def time_features(timestamps_ns: jax.Array, timetransform: str = "id") -> jax.Array:
-    """Optional time embedding (reference's never-wired ``time_transform`` /
-    ``timetransform`` knob made functional). 'id' passes float days; 'cyclic'
-    returns (sin, cos) of the annual phase."""
+    """Time features for the deterministic baselines' class_labels path
+    (train.steps.make_deterministic_train_step/eval_step). The reference
+    stores a ``time_transform`` knob but never applies it and passes raw
+    timestamps as class_labels (climex_utils.py:68, trainmodel.py:157); here
+    'id' passes float days — inert at label_dim=0, matching the reference —
+    and 'cyclic' returns (sin, cos) of the annual phase, which is LIVE when
+    the loop builds the baseline U-Net with label_dim=2 (--timetransform
+    cyclic)."""
     days = timestamps_ns / (1e9 * 86400.0)
     if timetransform == "id":
         return days[:, None]

@@ -14,11 +14,20 @@ code runs unchanged from one chip to a pod:
 - :func:`shard_years` — balanced contiguous partition of the year list;
 - :func:`local_batch_slice` — this process's rows of a global batch;
 - :func:`make_global_batch` — assemble a globally-sharded device array from
-  process-local host data (``jax.make_array_from_process_local_data``).
+  process-local host data (``jax.make_array_from_process_local_data``);
+- :func:`allreduce_moments` / :func:`merge_moment_stats` /
+  :func:`global_perpixel_stats` — GLOBAL standardization statistics when
+  ingest is year-sharded;
+- :func:`allgather_counts` + :func:`stratified_epoch_batches` — lockstep
+  epoch batch plans (same nb on every process, each global batch assembled
+  from exactly batch/num_shards rows per shard).
 
-The pure shard math is unit-tested (tests/test_multihost.py); the distributed
-bring-up path follows the standard JAX recipe and is exercised trivially
-(single process) in CI since multi-host hardware is not available there.
+All of this is LIVE in the production loops (train.loop builds a
+:class:`MultihostPlan` whenever ``process_count > 1`` or
+``--data_shards > 1``); correctness is proven by tests/test_multihost.py
+(pure math) and tests/test_multihost_e2e.py (a REAL 2-process
+``jax.distributed`` run on the CPU backend whose per-step losses equal the
+single-process run of the same batch plan).
 """
 
 from __future__ import annotations

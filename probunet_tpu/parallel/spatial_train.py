@@ -29,15 +29,23 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
-def shard_map(*args, **kw):
-    """shard_map with varying-mesh-axes checking off: the Pallas kernels inside
-    (fused attention) declare pallas_call out_shapes without `vma`, which the
-    checker rejects on TPU. Gradient correctness with the checker off is
-    covered by tests/test_spatial_train.py's sharded==unsharded grad parity."""
+def shard_map_unchecked(*args, **kw):
+    """shard_map with varying-mesh-axes checking OFF — use ONLY for bodies
+    that call the Pallas kernels (fused attention), whose pallas_call
+    out_shapes carry no `vma` and are rejected by the checker on TPU.
+    Any new spatial code without Pallas calls should use plain
+    ``jax.shard_map`` so it keeps the replication checker. Gradient
+    correctness for the unchecked bodies here is covered by
+    tests/test_spatial_train.py's sharded==unsharded grad parity."""
     try:
         return _shard_map(*args, check_vma=False, **kw)
     except TypeError:  # pragma: no cover - older jax spells it check_rep
         return _shard_map(*args, check_rep=False, **kw)
+
+
+# Back-compat alias (tests import it under this name); prefer the explicit
+# `shard_map_unchecked` in new code so the disabled checker is visible.
+shard_map = shard_map_unchecked
 
 from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
 from probunet_tpu.train.state import TrainState
@@ -88,9 +96,11 @@ def make_spatial_probunet_train_step(
                 axis_name=axis_name, beta=beta, rng=r_latent,
                 dropout=dropout, dropout_rng=r_drop, remat=remat, **arch)
 
-        fn = shard_map(body, mesh=mesh,
-                       in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
-                       out_specs=(P(), P(), P()))
+        # unchecked: body reaches fused_attention (Pallas) via spatial_unet
+        fn = shard_map_unchecked(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
+            out_specs=(P(), P(), P()))
         return fn(params, x, y, rng, beta)
 
     def step(state: TrainState, x, y, rng):
@@ -235,9 +245,11 @@ def make_spatial_eval_elbo(model, mesh, axis_name: str = "space",
                 params, xl.astype(compute_dtype), yl.astype(compute_dtype),
                 axis_name=axis_name, beta=beta, rng=rng, **arch)
 
-        sm = shard_map(body, mesh=mesh,
-                       in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
-                       out_specs=(P(), P(), P()))
+        # unchecked: body reaches fused_attention (Pallas) via spatial_unet
+        sm = shard_map_unchecked(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
+            out_specs=(P(), P(), P()))
         total, recon, kl = sm(params, x, y, rng, beta)
         return {"val_loss": total, "val_recon_loss": recon, "val_kl_div": kl}
 

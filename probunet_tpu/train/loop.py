@@ -275,6 +275,15 @@ def _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch):
     plt.close(fig)
 
 
+def _label_dim(cfg: Config) -> int:
+    """Feature width of transforms.time_features for this config. 'id' keeps
+    the reference behaviour — label_dim=0, so the raw-timestamp class_labels
+    are ignored (trainmodel.py:157 with label_dim=0); 'cyclic' makes the
+    timetransform knob LIVE: the (sin, cos) annual phase drives the U-Net's
+    map_label embedding."""
+    return 2 if cfg.timetransform == "cyclic" else 0
+
+
 def build_baseline_model(cfg: Config):
     if cfg.ds_model == "deterministic_unet":
         # reference baseline/deterministic_unet.py:232,274: width 64, no attention.
@@ -282,7 +291,8 @@ def build_baseline_model(cfg: Config):
         # width) never silently changes what this builds.
         width = cfg.baseline_channels
         return UNet(img_resolution=tuple(cfg.resolution), in_channels=cfg.nvars,
-                    out_channels=cfg.nvars, label_dim=0, use_diffuse=False,
+                    out_channels=cfg.nvars, label_dim=_label_dim(cfg),
+                    use_diffuse=False,
                     model_channels=width, channel_mult=tuple(cfg.channel_mult),
                     num_blocks=cfg.num_blocks, attn_resolutions=(),
                     bottleneck_attention=False, dropout=cfg.dropout)
@@ -308,8 +318,9 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
                         state_dtype=cfg.opt_state_dtype)
     h, w = cfg.resolution
     rngs = {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(cfg.seed + 1)}
+    label_cols = 2 if cfg.timetransform == "cyclic" else 1  # time_features width
     variables = model.init(rngs, jnp.zeros((1, h, w, cfg.nvars)),
-                           class_labels=jnp.zeros((1, 1)), train=False)
+                           class_labels=jnp.zeros((1, label_cols)), train=False)
     state = create_train_state(variables["params"], tx)
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
@@ -319,11 +330,14 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
     train_step = make_deterministic_train_step(model, tx, cfg.lowres_scale,
                                                cfg.standardization, dtype,
-                                               donate=cfg.donate_state)
+                                               donate=cfg.donate_state,
+                                               timetransform=cfg.timetransform)
     eval_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
-                                             cfg.variables, reconstruct=False)
+                                             cfg.variables, reconstruct=False,
+                                             timetransform=cfg.timetransform)
     mae_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
-                                            cfg.variables, reconstruct=True, loss="mae")
+                                            cfg.variables, reconstruct=True, loss="mae",
+                                            timetransform=cfg.timetransform)
 
     # Same data-residency policy as train_probunet: time-shard the dataset
     # tensor across the mesh when divisible, or stream host->device batches.
@@ -502,7 +516,8 @@ def _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val)
     sl = transforms.slice_stats(stats_val, cfg.standardization, idx)
     pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
     preds = model.apply({"params": state.params}, pair["inputs"],
-                        class_labels=ts_val[idx][:, None], train=False)
+                        class_labels=transforms.time_features(
+                            ts_val[idx], cfg.timetransform), train=False)
     hr_pred = transforms.residual_to_hr(preds.astype(jnp.float32), pair["lrinterp"],
                                         cfg.standardization, sl)
     fig, _ = plot_batch(pair["lrinterp"], hr_pred, pair["hr"],

@@ -312,9 +312,17 @@ def make_deterministic_train_step(
     compute_dtype=jnp.float32,
     donate: bool = True,
     loss: str = "mse",
+    timetransform: str = "id",
 ):
     """MSE training step for the deterministic U-Net / LinearCNN baselines
-    (reference trainmodel.py:119-202), with per-variable loss metrics."""
+    (reference trainmodel.py:119-202), with per-variable loss metrics.
+
+    ``timetransform`` feeds :func:`transforms.time_features` to build the
+    class_labels the model conditions on: 'id' = float days (the reference's
+    raw-timestamp pass-through, trainmodel.py:157, inert at label_dim=0);
+    'cyclic' = (sin, cos) annual phase, live when the model's label_dim is 2
+    (the loop builds the baseline U-Net that way for cyclic).
+    """
 
     def loss_of(pred, target):
         d = pred.astype(jnp.float32) - target.astype(jnp.float32)
@@ -327,9 +335,10 @@ def make_deterministic_train_step(
         x = pair["inputs"].astype(compute_dtype)
         y = pair["targets"].astype(compute_dtype)
         rngs = _split_rngs(rng, state.step)
+        labels = transforms.time_features(timestamps, timetransform)
 
         def loss_fn(params):
-            preds = model.apply({"params": params}, x, class_labels=timestamps[:, None],
+            preds = model.apply({"params": params}, x, class_labels=labels,
                                 train=True, rngs=rngs)
             return loss_of(preds, y), preds
 
@@ -348,7 +357,8 @@ def make_deterministic_train_step(
 def make_deterministic_eval_step(model, lowres_scale: int, standardization: str,
                                  variables: Tuple[str, ...],
                                  reconstruct: bool = False, loss: str = "mse",
-                                 compute_dtype=jnp.float32):
+                                 compute_dtype=jnp.float32,
+                                 timetransform: str = "id"):
     """Per-variable eval (reference trainmodel.py:235-304). With
     ``reconstruct=True`` losses are computed on physical HR fields after
     residual->HR and unit conversion (mm/day, deg C)."""
@@ -365,7 +375,8 @@ def make_deterministic_eval_step(model, lowres_scale: int, standardization: str,
         sl = transforms.slice_stats(stats, standardization, idx)
         pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
         x = pair["inputs"].astype(compute_dtype)
-        preds = model.apply({"params": params}, x, class_labels=timestamps[:, None],
+        labels = transforms.time_features(timestamps, timetransform)
+        preds = model.apply({"params": params}, x, class_labels=labels,
                             train=False)
         out = {}
         if reconstruct:

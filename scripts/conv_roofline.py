@@ -145,8 +145,10 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, h, w_, cin)), jnp.bfloat16)
         wgt = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.05, jnp.bfloat16)
         f = conv_fn(k, mode)
-        ho = h // 2 if mode == "down" else (h * 2 if mode == "up" else h)
-        wo = w_ // 2 if mode == "down" else (w_ * 2 if mode == "up" else w_)
+        # FLOPs from the ACTUAL output shape (the 'up' path's conv_transpose
+        # padding yields 2H-3, not 2H; assuming 2H overstated TF/s by ~10%).
+        out_shape = jax.eval_shape(f, x, wgt).shape
+        ho, wo = out_shape[1], out_shape[2]
         flops = 2.0 * B * ho * wo * cin * cout * k * k
 
         def fb(x, wgt, f=f):

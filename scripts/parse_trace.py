@@ -7,8 +7,12 @@ from collections import defaultdict
 
 import jax
 
+import os
+
 files = glob.glob("/tmp/jax_trace/**/*.xplane.pb", recursive=True)
-pd = jax.profiler.ProfileData.from_file(files[0])
+if not files:
+    sys.exit("no *.xplane.pb under /tmp/jax_trace — run scripts/profile_step.py first")
+pd = jax.profiler.ProfileData.from_file(max(files, key=os.path.getmtime))
 STEPS = 6
 
 for plane in pd.planes:
@@ -27,7 +31,7 @@ for plane in pd.planes:
     for line in plane.lines:
         for e in line.events:
             n = e.name
-            if n.startswith("jit_") or n[0].isdigit():
+            if not n or n.startswith("jit_") or n[0].isdigit():
                 continue
             d = e.duration_ns / 1e6
             if "copy-start" in n or "copy-done" in n:
