@@ -69,6 +69,11 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     parallel_mode: str = "data"    # {"data", "spatial"}: spatial = H-axis model parallelism
     device_resident_data: bool = True            # keep the full HR tensor in HBM
+    # Ingest shard count for the lockstep multi-host batch plan. 0 = auto
+    # (jax.process_count()). Setting >1 on a SINGLE process reproduces the
+    # multi-process stratified batch order exactly — the mechanism the
+    # 2-process parity test uses (tests/test_multihost_e2e.py).
+    data_shards: int = 0
 
     # --- observability ---
     wandb: bool = False

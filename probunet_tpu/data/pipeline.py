@@ -26,7 +26,12 @@ from probunet_tpu.ops.resample import avg_pool
 
 
 class DevicePrefetcher:
-    """Wrap a host iterator; keep ``buffer_size`` items device-put ahead."""
+    """Wrap a host iterator; keep ``buffer_size`` items device-put ahead.
+
+    ``sharding`` is either one sharding applied to every leaf, or a dict
+    keyed by the item's top-level keys (e.g. batch-sharded ``hr`` next to
+    replicated global ``stats``) — so streamed batches land directly on the
+    mesh layout the step compiled against, with no in-step reshard."""
 
     def __init__(self, host_iter: Iterator, buffer_size: int = 2, sharding=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
@@ -34,12 +39,23 @@ class DevicePrefetcher:
         self._thread = threading.Thread(target=self._worker, args=(host_iter,), daemon=True)
         self._thread.start()
 
+    def _put_item(self, item):
+        if isinstance(self._sharding, dict) and isinstance(item, dict):
+            out = {}
+            for k, v in item.items():
+                sh = self._sharding.get(k)
+                put = (lambda a, sh=sh: jax.device_put(a, sh)) if sh is not None \
+                    else jax.device_put
+                out[k] = jax.tree.map(put, v)
+            return out
+        put = (lambda a: jax.device_put(a, self._sharding)) if self._sharding is not None \
+            else jax.device_put
+        return jax.tree.map(put, item)
+
     def _worker(self, host_iter):
         try:
             for item in host_iter:
-                put = (lambda a: jax.device_put(a, self._sharding)) if self._sharding \
-                    else jax.device_put
-                self._q.put(jax.tree.map(put, item))
+                self._q.put(self._put_item(item))
         except Exception as e:  # surface worker errors to the consumer
             self._q.put(e)
         self._q.put(None)
@@ -64,6 +80,7 @@ def stream_batches(
     buffer_size: int = 2,
     sharding=None,
     timestamps_np: Optional[np.ndarray] = None,
+    replicated_sharding=None,
 ) -> Iterator[Dict]:
     """Yield device-resident {hr, stats[, timestamps]} batches, double-buffered.
 
@@ -71,7 +88,16 @@ def stream_batches(
     for perpixel/none the global stats are passed through unsliced. Pass
     ``timestamps_np`` for models that condition on time (the deterministic
     baselines' class_labels path).
+
+    On a multi-device mesh pass ``sharding`` (the batch sharding, applied to
+    hr / per-sample stats / timestamps) and ``replicated_sharding`` (applied
+    to global perpixel stats) so streamed arrays land on the step's layout
+    directly instead of being resharded inside the XLA program.
     """
+    if sharding is not None:
+        stats_sh = (sharding if standardization in ("pertimestep", "minmax")
+                    else replicated_sharding)
+        sharding = {"hr": sharding, "timestamps": sharding, "stats": stats_sh}
     n = hr_np.shape[0]
     order = (np.random.default_rng(epoch_seed).permutation(n) if shuffle
              else np.arange(n))
@@ -92,6 +118,27 @@ def stream_batches(
     return iter(DevicePrefetcher(host_iter(), buffer_size=buffer_size, sharding=sharding))
 
 
+def lr_moments_streaming(hr_np: np.ndarray, lowres_scale: int, chunk: int = 512):
+    """Raw per-pixel LR moments of a host-resident HR tensor: float64
+    (sum, sum_of_squares, count) on the LR grid, accumulated chunk-by-chunk.
+
+    Pooling runs on device; accumulation is float64 on host — fp32
+    sum-of-squares of Kelvin-scale fields over a century loses ~all precision
+    in the ``s2 - n*mean^2`` subtraction (jax_enable_x64 is never set here).
+    These are the mergeable accumulators multi-host all-reduces for GLOBAL
+    standardization stats (parallel.multihost.global_perpixel_stats)."""
+    t = hr_np.shape[0]
+    pool = jax.jit(lambda x: avg_pool(x, lowres_scale))
+    s1 = s2 = None
+    for lo in range(0, t, chunk):
+        lr64 = np.asarray(pool(jnp.asarray(hr_np[lo:lo + chunk]))).astype(np.float64)
+        c1 = lr64.sum(axis=0)
+        c2 = (lr64 * lr64).sum(axis=0)
+        s1 = c1 if s1 is None else s1 + c1
+        s2 = c2 if s2 is None else s2 + c2
+    return s1, s2, t
+
+
 def compute_lr_stats_streaming(
     hr_np: np.ndarray,
     lowres_scale: int,
@@ -105,20 +152,10 @@ def compute_lr_stats_streaming(
     t = hr_np.shape[0]
 
     if standardization == "perpixel":
-        pool = jax.jit(lambda x: avg_pool(x, lowres_scale))
-        s1 = s2 = None
-        for lo in range(0, t, chunk):
-            # Pool on device, accumulate in float64 on host: fp32 sum-of-squares
-            # of Kelvin-scale fields over a century loses ~all precision in the
-            # s2 - t*mean^2 subtraction (jax_enable_x64 is never set here).
-            lr64 = np.asarray(pool(jnp.asarray(hr_np[lo:lo + chunk]))).astype(np.float64)
-            c1 = lr64.sum(axis=0)
-            c2 = (lr64 * lr64).sum(axis=0)
-            s1 = c1 if s1 is None else s1 + c1
-            s2 = c2 if s2 is None else s2 + c2
-        mean = s1 / t
+        s1, s2, n = lr_moments_streaming(hr_np, lowres_scale, chunk)
+        mean = s1 / n
         # unbiased variance (torch std default, climex_utils.py:174)
-        var = (s2 - t * mean * mean) / (t - 1)
+        var = (s2 - n * mean * mean) / (n - 1)
         std = np.sqrt(np.maximum(var, 0.0)).astype(np.float32)
         mean = mean.astype(np.float32)
         s = lowres_scale

@@ -33,7 +33,7 @@ single-process run of the same batch plan).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -47,7 +47,10 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
 
     Detection: any of COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS /
     PROBUNET_MULTIHOST=1 (TPU pod slices auto-detect args, so initialize()
-    needs no explicit addresses there).
+    needs no explicit addresses there). For generic (non-TPU-pod) launches,
+    PROBUNET_NUM_PROCESSES + PROBUNET_PROCESS_ID select the explicit-args
+    form — this is how the 2-process CPU-backend parity test
+    (tests/test_multihost_e2e.py) brings the cluster up.
     """
     global _initialized
     import jax
@@ -58,7 +61,14 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
              or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if not (force or coord or os.environ.get("PROBUNET_MULTIHOST")):
         return False
-    jax.distributed.initialize()
+    nproc = os.environ.get("PROBUNET_NUM_PROCESSES")
+    if nproc is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ["PROBUNET_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
     _initialized = True
     return jax.process_count() > 1
 
@@ -119,29 +129,43 @@ def merge_moment_stats(parts):
     return mean.astype(np.float32), np.sqrt(np.maximum(var, 0.0)).astype(np.float32)
 
 
-def allreduce_moments(s1: np.ndarray, s2: np.ndarray, count: int):
-    """Sum (s1, s2, count) across processes through the devices (the only
-    transport multi-host JAX guarantees): each process contributes one shard
-    of a process-sharded global array; a jitted sum reduces it. Returns the
-    summed (s1, s2, count) on every process. Single-process: identity."""
+def allreduce_sum(*arrays):
+    """Element-wise float64 sum of host arrays across processes through the
+    devices (the only transport multi-host JAX guarantees): each process
+    contributes one row of a process-sharded global array; a jitted sum
+    reduces it, replicated back to every process. Single-process: identity.
+    Arrays may have any shapes; they are packed into one payload."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if jax.process_count() == 1:
-        return s1, s2, count
-    # one (1, k) row per process; rows sharded over the 'proc' mesh axis
+        return arrays
+    shapes = [np.asarray(a).shape for a in arrays]
     payload = np.concatenate(
-        [np.asarray(s1, np.float64).ravel(), np.asarray(s2, np.float64).ravel(),
-         [np.float64(count)]])[None]
+        [np.asarray(a, np.float64).ravel() for a in arrays])[None]
     devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
     mesh = Mesh(devs, ("proc", "dev"))
     garr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("proc")), payload)
     total = np.asarray(jax.jit(lambda a: jnp.sum(a, axis=0),
                                out_shardings=NamedSharding(mesh, P()))(garr), np.float64)
-    k = s1.size
-    return (total[:k].reshape(s1.shape), total[k:2 * k].reshape(s2.shape),
-            int(round(total[-1])))
+    out, lo = [], 0
+    for shp in shapes:
+        n = int(np.prod(shp)) if shp else 1
+        out.append(total[lo:lo + n].reshape(shp))
+        lo += n
+    return tuple(out)
+
+
+def allreduce_moments(s1: np.ndarray, s2: np.ndarray, count: int):
+    """Sum (s1, s2, count) across processes (see :func:`allreduce_sum`).
+    Returns the summed (s1, s2, count) on every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return s1, s2, count
+    s1, s2, cnt = allreduce_sum(s1, s2, np.float64(count))
+    return s1, s2, int(round(float(cnt)))
 
 
 def make_global_batch(local_np: np.ndarray, sharding):
@@ -152,3 +176,238 @@ def make_global_batch(local_np: np.ndarray, sharding):
     if jax.process_count() == 1:
         return jax.device_put(local_np, sharding)
     return jax.make_array_from_process_local_data(sharding, local_np)
+
+
+def allgather_counts(local_n: int):
+    """All processes' ``local_n`` values, ordered by process index, visible on
+    every process (device transport, like :func:`allreduce_moments`).
+    Single-process: ``[local_n]``."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return np.asarray([int(local_n)], np.int64)
+    payload = np.asarray([[np.float64(local_n)]])
+    devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
+    mesh = Mesh(devs, ("proc", "dev"))
+    garr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("proc")), payload)
+    full = np.asarray(jax.jit(lambda a: a + jnp.zeros_like(a),
+                              out_shardings=NamedSharding(mesh, P()))(garr))
+    return np.asarray(np.round(full[:, 0]), np.int64)
+
+
+def global_perpixel_stats(hr_np: np.ndarray, lowres_scale: int):
+    """Per-pixel standardization statistics over the GLOBAL (all-process)
+    train split: local float64 LR moments -> cross-process all-reduce ->
+    (mean, std) repeated to the HR grid. Numerically identical to a
+    single-host pass over the full year range (mergeable-moments identity;
+    see tests/test_multihost.py). Single-process: equals the streaming local
+    stats."""
+    from probunet_tpu.data.pipeline import lr_moments_streaming
+
+    s1, s2, n = lr_moments_streaming(hr_np, lowres_scale)
+    s1, s2, n = allreduce_moments(s1, s2, n)
+    mean, std = merge_moment_stats([(s1, s2, n)])
+    mean_hr = np.repeat(np.repeat(mean, lowres_scale, axis=0), lowres_scale, axis=1)
+    std_hr = np.repeat(np.repeat(std, lowres_scale, axis=0), lowres_scale, axis=1)
+    return mean_hr, std_hr
+
+
+def stratified_epoch_batches(shard_sizes: Sequence[int], batch: int, seed: int,
+                             shuffle: bool = True) -> np.ndarray:
+    """Lockstep epoch batch plan over year-sharded data: an (nb, batch) array
+    of GLOBAL sample indices where every batch takes exactly
+    ``batch // num_shards`` rows from each contiguous shard, rows grouped in
+    shard order (the layout ``make_global_batch`` needs: process p's rows are
+    the contiguous block ``local_batch_slice(batch, p, num_shards)``).
+
+    Deterministic in (shard_sizes, batch, seed) only — every process computes
+    the identical plan with no communication. Each shard's samples are
+    shuffled with an independent per-shard stream; nb = min over shards, so
+    uneven shards stay in lockstep (the tail of larger shards is dropped,
+    like drop_remainder)."""
+    shard_sizes = [int(s) for s in shard_sizes]
+    k = len(shard_sizes)
+    if batch % k:
+        raise ValueError(f"batch {batch} not divisible by {k} shards")
+    per = batch // k
+    nb = min(s // per for s in shard_sizes)
+    if nb == 0:
+        raise ValueError(f"some shard ({shard_sizes}) has fewer than {per} samples")
+    cols = []
+    offset = 0
+    for p, size in enumerate(shard_sizes):
+        order = (np.random.default_rng([seed, p]).permutation(size) if shuffle
+                 else np.arange(size))
+        cols.append(offset + order[: nb * per].reshape(nb, per))
+        offset += size
+    return np.concatenate(cols, axis=1)
+
+
+class MultihostPlan:
+    """Per-step global-batch assembly keeping every process in lockstep.
+
+    Built by the training loops whenever ``jax.process_count() > 1`` (real
+    multi-host: each process ingested only its :func:`shard_years` slice of
+    the train years) or when ``--data_shards > 1`` on a single process (the
+    parity-test configuration: one process holding ALL years reproduces the
+    multi-process batch plan bit-for-bit, so a 2-process run can be asserted
+    equal to a single-process run — tests/test_multihost_e2e.py).
+
+    Responsibilities:
+    - lockstep epoch plans (:func:`stratified_epoch_batches` from allgathered
+      shard sizes — same nb and same global sample ids on every process);
+    - GLOBAL perpixel standardization stats (:func:`global_perpixel_stats`,
+      fixing the per-host-local-stats bug class);
+    - assembling each step's global device arrays from process-local rows
+      (:func:`make_global_batch`).
+    """
+
+    def __init__(self, cfg, ds_train, mesh):
+        import jax
+        from probunet_tpu.parallel.mesh import batch_sharding, replicated
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.pi, self.pc = process_info()
+        self.num_shards = int(cfg.data_shards) or self.pc
+        if self.pc > 1 and self.num_shards != self.pc:
+            raise ValueError(
+                f"data_shards={self.num_shards} must equal process_count={self.pc} "
+                "when running multi-process")
+        if cfg.batch_size % self.num_shards:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                             f"{self.num_shards} shards")
+        if self.pc > 1:
+            self.shard_sizes = [int(s) for s in allgather_counts(len(ds_train))]
+            self.offset = int(sum(self.shard_sizes[:self.pi]))
+        else:
+            # single-process simulation: this process holds every shard, so
+            # global ids ARE local ids (offset 0); sizes follow the year split
+            self.shard_sizes = shard_sizes_for(len(ds_train), ds_train.years,
+                                               self.num_shards)
+            self.offset = 0
+        self.global_train_n = int(sum(self.shard_sizes))
+        self.replicated = replicated(mesh)
+        if cfg.batch_size % mesh.devices.size == 0:
+            self.batch_sharding = batch_sharding(mesh)
+        elif self.pc == 1:
+            # same fallback as the DP loop's put_idx: replicate small batches
+            self.batch_sharding = self.replicated
+        else:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"{mesh.devices.size}-device mesh for multi-process batch sharding")
+        # GLOBAL train-split standardization stats (host numpy)
+        self.stats_np = self.split_stats(ds_train, merged=True)
+        self._stats_repl = None
+        if self.stats_np is not None and cfg.standardization == "perpixel":
+            self._stats_repl = tuple(
+                make_global_batch(np.asarray(s, np.float32), self.replicated)
+                for s in self.stats_np)
+        # cached batch-sharded global arange (per-step gather indices)
+        b = cfg.batch_size
+        rows = local_batch_slice(b, self.pi, self.pc)
+        self._arange = make_global_batch(np.arange(b, dtype=np.int32)[rows],
+                                         self.batch_sharding)
+
+    # ---- statistics ----
+    def split_stats(self, ds, merged: bool = False):
+        """Host-numpy standardization stats for a split. ``merged=True``
+        all-reduces perpixel moments across processes (train split, where
+        ingest is year-sharded); replicated splits (val/test) use local-only
+        stats, identical on every process."""
+        from probunet_tpu.data.pipeline import compute_lr_stats_streaming
+
+        std = self.cfg.standardization
+        if std == "none":
+            return None
+        if std == "perpixel" and merged:
+            return global_perpixel_stats(ds.hr_np, self.cfg.lowres_scale)
+        return compute_lr_stats_streaming(ds.hr_np, self.cfg.lowres_scale, std)
+
+    # ---- epoch plans ----
+    def epoch_batches(self, epoch_seed: int, shuffle: bool = True) -> np.ndarray:
+        """(nb, batch_size) GLOBAL train sample ids, identical on every
+        process; rows grouped per shard."""
+        return stratified_epoch_batches(self.shard_sizes, self.cfg.batch_size,
+                                        epoch_seed, shuffle=shuffle)
+
+    def replicated_batches(self, n: int, batch: Optional[int] = None) -> np.ndarray:
+        """Sequential (nb, batch) ids over a REPLICATED split (val/test) —
+        eval order matches the single-host loop's shuffle=False epoch."""
+        batch = batch or self.cfg.batch_size
+        nb = n // batch
+        return np.arange(nb * batch, dtype=np.int64).reshape(nb, batch)
+
+    # ---- per-step assembly ----
+    def device_batch(self, hr_np: np.ndarray, batch_gids: np.ndarray,
+                     stats_np=None, timestamps_np: Optional[np.ndarray] = None,
+                     replicated_source: bool = False) -> dict:
+        """Assemble one step's global device arrays from this process's rows.
+
+        ``replicated_source=True`` means every process holds the full split
+        (val/test), so global ids index the local copy directly. Returns
+        {hr, stats, idx[, timestamps]} matching the fused step signatures
+        (hr is the (B, H, W, C) batch, idx the batch-sharded arange)."""
+        b = len(batch_gids)
+        rows = local_batch_slice(b, self.pi, self.pc)
+        lids = np.asarray(batch_gids)[rows]
+        if not replicated_source:
+            lids = lids - self.offset
+        item = {"hr": make_global_batch(np.ascontiguousarray(hr_np[lids]),
+                                        self.batch_sharding)}
+        std = self.cfg.standardization
+        if stats_np is None:
+            item["stats"] = None
+        elif std in ("pertimestep", "minmax"):
+            item["stats"] = tuple(
+                make_global_batch(np.ascontiguousarray(s[lids]), self.batch_sharding)
+                for s in stats_np)
+        elif stats_np is self.stats_np and self._stats_repl is not None:
+            item["stats"] = self._stats_repl
+        else:
+            item["stats"] = tuple(
+                make_global_batch(np.asarray(s, np.float32), self.replicated)
+                for s in stats_np)
+        if timestamps_np is not None:
+            item["timestamps"] = make_global_batch(
+                np.ascontiguousarray(timestamps_np[lids]), self.batch_sharding)
+        item["idx"] = self._arange if b == self.cfg.batch_size else \
+            make_global_batch(np.arange(b, dtype=np.int32)[rows], self.batch_sharding)
+        return item
+
+    def put_state(self, state):
+        """Replicate a locally-initialized train state as a global array tree
+        (host round-trip: device_put of committed per-process arrays into a
+        multi-process sharding is not allowed)."""
+        import jax
+        return jax.device_put(jax.device_get(state), self.replicated)
+
+    @property
+    def is_primary(self) -> bool:
+        return self.pi == 0
+
+
+def make_plan(cfg, ds_train, mesh) -> Optional[MultihostPlan]:
+    """A :class:`MultihostPlan` when multi-process (or simulating shards via
+    --data_shards), else None (the plain single-host fast path)."""
+    _, pc = process_info()
+    if pc > 1 or int(cfg.data_shards) > 1:
+        return MultihostPlan(cfg, ds_train, mesh)
+    return None
+
+
+def shard_sizes_for(n_samples: int, years: Sequence[int], num_shards: int):
+    """Per-shard sample counts for a dataset of ``n_samples`` covering
+    ``years``, partitioned by :func:`shard_years`. Requires a uniform
+    samples-per-year calendar (ClimEx is noleap: 365 days every year), which
+    is asserted."""
+    years = list(years)
+    if n_samples % len(years):
+        raise ValueError(
+            f"{n_samples} samples over {len(years)} years is not uniform; "
+            "cannot derive shard sizes")
+    spy = n_samples // len(years)
+    return [len(shard_years(years, p, num_shards)) * spy for p in range(num_shards)]

@@ -117,9 +117,14 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # ELBO runs inside a shard_map (halo convs, psum GN, sharded dropout).
         from probunet_tpu.parallel.spatial_train import train_probunet_spatial
         return train_probunet_spatial(cfg, datasets)
+    from probunet_tpu.parallel.multihost import make_plan
+
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
+    # Lockstep multi-process plan (global stats + stratified global batches);
+    # None on a plain single-host run.
+    plan = make_plan(cfg, ds_train, mesh)
 
     model = build_probunet(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
@@ -129,7 +134,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
         print(f"resumed from {cfg.resume} at step {int(state.step)}")
-    state = put_replicated(state, mesh)
+    state = plan.put_state(state) if plan else put_replicated(state, mesh)
 
     dtype = _compute_dtype(cfg)
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
@@ -157,9 +162,15 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    streaming = not cfg.device_resident_data
-    if streaming:
-        # Host-resident dataset; batches stream to HBM double-buffered.
+    streaming = (not cfg.device_resident_data) and plan is None
+    if plan is not None:
+        # Multi-process: every step's global batch is assembled from this
+        # process's local rows; the val split is replicated per process.
+        stats_val_np = plan.split_stats(ds_val)
+        hr_train = stats_train = hr_val = stats_val = None
+    elif streaming:
+        # Host-resident dataset; batches stream to HBM double-buffered,
+        # already laid out on the mesh's batch sharding (no reshard in-step).
         from probunet_tpu.data.pipeline import compute_lr_stats_streaming
         stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
                                                     cfg.standardization)
@@ -172,9 +183,12 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         stats_train = put_replicated(ds_train.stats, mesh)
         stats_val = put_replicated(ds_val.stats, mesh)
 
+    primary = plan is None or plan.is_primary
     os.makedirs(cfg.plotdir, exist_ok=True)
-    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
-                          use_wandb=cfg.wandb, wandb_config=vars(cfg) if hasattr(cfg, "__dict__") else None)
+    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl")
+    logger = MetricLogger(metrics_path if primary else None,
+                          use_wandb=cfg.wandb and primary,
+                          wandb_config=vars(cfg) if hasattr(cfg, "__dict__") else None)
     timer = StepTimer(cfg.profile_dir)
     rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
@@ -187,11 +201,33 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # lax.scan costs more than per-step dispatch on this runtime) ----
         running = []
         timer.reset()
-        if streaming:
+        if plan is not None:
+            # Lockstep multi-process epoch: every process computes the same
+            # global batch plan and contributes its local rows of each batch.
+            batches = plan.epoch_batches(cfg.seed + epoch)
+            for bi in progress(range(batches.shape[0]),
+                               desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
+                item = plan.device_batch(ds_train.hr_np, batches[bi], plan.stats_np)
+                state, metrics = train_step(state, item["hr"], item["stats"],
+                                            item["idx"], rng)
+                step_count += 1
+                timer.tick(cfg.batch_size)
+                running.append(metrics["train_loss"])
+                if step_count % cfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["samples_per_sec"] = timer.rate()
+                    logger.log(m, step=step_count)
+        elif streaming:
             from probunet_tpu.data.pipeline import stream_batches
+            from probunet_tpu.parallel import batch_sharding, replicated
             nb = len(ds_train) // cfg.batch_size
+            # batch sharding only when divisible (same rule as put_idx)
+            bsh = (batch_sharding(mesh) if cfg.batch_size % nd == 0
+                   else replicated(mesh))
             it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
-                                stats_train_np, cfg.standardization)
+                                stats_train_np, cfg.standardization,
+                                sharding=bsh,
+                                replicated_sharding=replicated(mesh))
             arange = put_idx(jnp.arange(cfg.batch_size))
             for item in progress(it, desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}", total=nb):
                 state, metrics = train_step(state, item["hr"], item.get("stats"), arange, rng)
@@ -219,13 +255,22 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         tr_losses.append(epoch_tr)
 
         # ---- eval (stochastic, seeded; reference eval_probunet_model) ----
-        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
         vloss = []
-        for bi in range(vbatches.shape[0]):
-            idx = put_idx(jnp.asarray(vbatches[bi]))
-            m = eval_step(state.params, hr_val, stats_val, idx,
-                          jax.random.fold_in(eval_rng, bi), jnp.float32(cfg.beta))
-            vloss.append(m["val_loss"])
+        if plan is not None:
+            vbatches = plan.replicated_batches(len(ds_val))
+            for bi in range(vbatches.shape[0]):
+                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                         replicated_source=True)
+                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
+                              jax.random.fold_in(eval_rng, bi), np.float32(cfg.beta))
+                vloss.append(m["val_loss"])
+        else:
+            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+            for bi in range(vbatches.shape[0]):
+                idx = put_idx(jnp.asarray(vbatches[bi]))
+                m = eval_step(state.params, hr_val, stats_val, idx,
+                              jax.random.fold_in(eval_rng, bi), jnp.float32(cfg.beta))
+                vloss.append(m["val_loss"])
         epoch_val = float(jnp.mean(jnp.stack(vloss)))
         val_losses.append(epoch_val)
         logger.log({"epoch": epoch, "epoch_train_loss": epoch_tr, "val_loss": epoch_val},
@@ -236,9 +281,15 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         if crps_fn is not None:
             acc = {}
             for bi in range(min(vbatches.shape[0], 16)):
-                idx = put_idx(jnp.asarray(vbatches[bi]))
-                m = crps_fn(state.params, hr_val, stats_val, idx,
-                            jax.random.fold_in(eval_rng, 10_000 + bi))
+                rng_b = jax.random.fold_in(eval_rng, 10_000 + bi)
+                if plan is not None:
+                    item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                             replicated_source=True)
+                    m = crps_fn(state.params, item["hr"], item["stats"],
+                                item["idx"], rng_b)
+                else:
+                    idx = put_idx(jnp.asarray(vbatches[bi]))
+                    m = crps_fn(state.params, hr_val, stats_val, idx, rng_b)
                 for k, v in m.items():
                     acc.setdefault(k, []).append(float(v))
             crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
@@ -246,11 +297,16 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
         # ---- sample + plot every 2 epochs (reference main.py:125-134) ----
         if make_plots and epoch % 2 == 0:
-            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch)
+            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
+                                   plan=plan)
 
-        save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"), jax.device_get(state))
+        # called from ALL processes: orbax multi-process save coordinates via
+        # its own cross-process barriers (primary-host writes internally) —
+        # gating it to one process deadlocks the barrier
+        save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
+                        jax.device_get(state))
 
-    if make_plots:
+    if make_plots and primary:
         from probunet_tpu.viz import plot_loss_curves
         plot_loss_curves(tr_losses, val_losses, os.path.join(cfg.plotdir, "loss.png"))
     logger.close()
@@ -258,15 +314,30 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
             "samples_per_sec": timer.rate()}
 
 
-def _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch):
+def _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
+                           plan=None):
     from probunet_tpu.viz import plot_sample_batch
     n = min(2, len(ds_test))
     idx = np.random.default_rng(epoch).integers(0, len(ds_test), size=n)
-    hr_test = put_replicated(ds_test.hr_device(), mesh)
-    stats_test = put_replicated(ds_test.stats, mesh)
-    hr_preds, pair = sample_fn(state.params, hr_test, stats_test, jnp.asarray(idx),
+    if plan is not None:
+        # test split is replicated per process; arrays go up as global
+        # replicated device arrays, the jit runs on ALL processes (it contains
+        # mesh collectives), only the primary writes the figure
+        from probunet_tpu.parallel.multihost import make_global_batch
+        hr_test = make_global_batch(ds_test.hr_np, plan.replicated)
+        stats_np = plan.split_stats(ds_test)
+        stats_test = None if stats_np is None else tuple(
+            make_global_batch(np.asarray(s, np.float32), plan.replicated)
+            for s in stats_np)
+    else:
+        hr_test = put_replicated(ds_test.hr_device(), mesh)
+        stats_test = put_replicated(ds_test.stats, mesh)
+    hr_preds, pair = sample_fn(state.params, hr_test, stats_test, np.asarray(idx),
                                jax.random.key(epoch))
-    fig, _ = plot_sample_batch(pair["lrinterp"], hr_preds, pair["hr"],
+    if plan is not None and not plan.is_primary:
+        return
+    fig, _ = plot_sample_batch(np.asarray(pair["lrinterp"]), np.asarray(hr_preds),
+                               np.asarray(pair["hr"]),
                                ds_test.timestamps_np[idx], epoch, cfg.variables,
                                lat=ds_test.lat, lon=ds_test.lon,
                                N=n, num_samples=cfg.num_samples)
@@ -305,6 +376,8 @@ def build_baseline_model(cfg: Config):
 def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                    make_plots: bool = True) -> Dict:
     """The reference ``baseline/main.py`` pipeline (deterministic models + BCSD)."""
+    from probunet_tpu.parallel.multihost import make_plan
+
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val = datasets["train"], datasets["val"]
@@ -313,6 +386,7 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     if cfg.ds_model == "bcsd":
         return run_bcsd(cfg, datasets)
 
+    plan = make_plan(cfg, ds_train, mesh)
     model = build_baseline_model(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
                         state_dtype=cfg.opt_state_dtype)
@@ -326,7 +400,7 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
         print(f"resumed from {cfg.resume} at step {int(state.step)}")
-    state = put_replicated(state, mesh)
+    state = plan.put_state(state) if plan else put_replicated(state, mesh)
 
     train_step = make_deterministic_train_step(model, tx, cfg.lowres_scale,
                                                cfg.standardization, dtype,
@@ -348,23 +422,28 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    streaming = not cfg.device_resident_data
-    if streaming:
+    streaming = (not cfg.device_resident_data) and plan is None
+    hr_train = stats_train = hr_val = stats_val = ts_train = ts_val = None
+    if plan is not None:
+        stats_val_np = plan.split_stats(ds_val)
+    elif streaming:
         from probunet_tpu.data.pipeline import compute_lr_stats_streaming
         stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
                                                     cfg.standardization)
-        hr_train = stats_train = None
     else:
         hr_train = put_data(ds_train.hr_device())
         stats_train = put_replicated(ds_train.stats, mesh)
-    hr_val = put_data(ds_val.hr_device())
-    stats_val = put_replicated(ds_val.stats, mesh)
-    ts_train = jnp.asarray(ds_train.timestamps_np)
-    ts_val = jnp.asarray(ds_val.timestamps_np)
+    if plan is None:
+        hr_val = put_data(ds_val.hr_device())
+        stats_val = put_replicated(ds_val.stats, mesh)
+        ts_train = jnp.asarray(ds_train.timestamps_np)
+        ts_val = jnp.asarray(ds_val.timestamps_np)
 
+    primary = plan is None or plan.is_primary
     os.makedirs(cfg.plotdir, exist_ok=True)
-    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_baseline.jsonl"),
-                          use_wandb=cfg.wandb)
+    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_baseline.jsonl")
+    logger = MetricLogger(metrics_path if primary else None,
+                          use_wandb=cfg.wandb and primary)
     rng = jax.random.key(cfg.seed + 2)
 
     tr_losses = {v: [] for v in cfg.variables}
@@ -372,12 +451,29 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     step_count = 0
     for epoch in range(1, cfg.num_epochs + 1):
         desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
-        if streaming:
+        if plan is not None:
+            batches = plan.epoch_batches(cfg.seed + epoch)
+            for bi in progress(range(batches.shape[0]), desc=desc):
+                item = plan.device_batch(ds_train.hr_np, batches[bi], plan.stats_np,
+                                         timestamps_np=ds_train.timestamps_np)
+                state, metrics = train_step(state, item["hr"], item["stats"],
+                                            item["idx"], item["timestamps"], rng)
+                step_count += 1
+                for i, v in enumerate(cfg.variables):
+                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
+                if step_count % cfg.log_every == 0:
+                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+        elif streaming:
             from probunet_tpu.data.pipeline import stream_batches
+            from probunet_tpu.parallel import batch_sharding, replicated
             nb = len(ds_train) // cfg.batch_size
+            bsh = (batch_sharding(mesh) if cfg.batch_size % nd == 0
+                   else replicated(mesh))
             it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
                                 stats_train_np, cfg.standardization,
-                                timestamps_np=ds_train.timestamps_np)
+                                timestamps_np=ds_train.timestamps_np,
+                                sharding=bsh,
+                                replicated_sharding=replicated(mesh))
             arange = put_idx(jnp.arange(cfg.batch_size))
             for item in progress(it, desc=desc, total=nb):
                 state, metrics = train_step(state, item["hr"], item.get("stats"),
@@ -398,32 +494,68 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
                     tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
                 if step_count % cfg.log_every == 0:
                     logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
-        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-        for bi in range(vbatches.shape[0]):
-            idx = jnp.asarray(vbatches[bi])
-            m = eval_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
-            for v in cfg.variables:
-                val_losses[v].append(float(m[f"eval_{v}"]))
+        if plan is not None:
+            vbatches = plan.replicated_batches(len(ds_val))
+            for bi in range(vbatches.shape[0]):
+                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                         timestamps_np=ds_val.timestamps_np,
+                                         replicated_source=True)
+                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
+                              item["timestamps"])
+                for v in cfg.variables:
+                    val_losses[v].append(float(m[f"eval_{v}"]))
+        else:
+            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+            for bi in range(vbatches.shape[0]):
+                idx = jnp.asarray(vbatches[bi])
+                m = eval_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
+                for v in cfg.variables:
+                    val_losses[v].append(float(m[f"eval_{v}"]))
 
     # sample + plot_batch (reference baseline/main.py:88-90, trainmodel.py:204-233)
-    if make_plots:
-        _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val)
+    if make_plots and primary:
+        if plan is not None:
+            # plot locally on the primary: host params + this process's full
+            # val copy (no mesh collectives in the plot path)
+            from probunet_tpu.train.state import TrainState
+            state_h = TrainState(jax.device_get(state.params), None, 0)
+            hr_v = jnp.asarray(ds_val.hr_np)
+            st_v = None if stats_val_np is None else tuple(
+                jnp.asarray(s) for s in stats_val_np)
+            _plot_baseline_samples(cfg, model, state_h, ds_val, hr_v, st_v,
+                                   jnp.asarray(ds_val.timestamps_np))
+        else:
+            _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val)
         _plot_baseline_losses(cfg, tr_losses, val_losses)
 
-    # checkpoint (reference baseline/main.py:108-109)
-    save_checkpoint(os.path.join(cfg.checkpoints_dir, cfg.ds_model), jax.device_get(state))
+    # checkpoint (reference baseline/main.py:108-109) — all processes: orbax
+    # coordinates multi-process saves itself (see train_probunet note)
+    save_checkpoint(os.path.join(cfg.checkpoints_dir, cfg.ds_model),
+                    jax.device_get(state))
 
     # final physical-unit MAE (reference baseline/main.py:112-115)
     mae = {v: [] for v in cfg.variables}
-    vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-    for bi in range(vbatches.shape[0]):
-        idx = jnp.asarray(vbatches[bi])
-        m = mae_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
-        for v in cfg.variables:
-            mae[v].append(float(m[f"eval_{v}"]))
+    if plan is not None:
+        vbatches = plan.replicated_batches(len(ds_val))
+        for bi in range(vbatches.shape[0]):
+            item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                     timestamps_np=ds_val.timestamps_np,
+                                     replicated_source=True)
+            m = mae_step(state.params, item["hr"], item["stats"], item["idx"],
+                         item["timestamps"])
+            for v in cfg.variables:
+                mae[v].append(float(m[f"eval_{v}"]))
+    else:
+        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+        for bi in range(vbatches.shape[0]):
+            idx = jnp.asarray(vbatches[bi])
+            m = mae_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
+            for v in cfg.variables:
+                mae[v].append(float(m[f"eval_{v}"]))
     mae = {v: float(np.mean(x)) for v, x in mae.items()}
-    for v in cfg.variables:
-        print(f"MAE for {v} on validation data: ", mae[v])
+    if primary:
+        for v in cfg.variables:
+            print(f"MAE for {v} on validation data: ", mae[v])
     logger.log({f"mae_{v}": mae[v] for v in cfg.variables}, step=step_count)
     logger.close()
     return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses, "mae": mae}
@@ -469,6 +601,18 @@ def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset],
             cnt = cnt.at[364].add(-pad)  # padded rows were zero fields; fix the count
         else:
             num, den, cnt = accum(num, den, cnt, jnp.asarray(hr_c), jnp.asarray(doy_c))
+    # Multi-process: the train split is year-sharded per process, so the
+    # climatology accumulators are partial sums — merge them (they are exactly
+    # mergeable) so every process applies the GLOBAL train climatology.
+    from probunet_tpu.parallel.multihost import allreduce_sum, process_info
+    _, pc = process_info()
+    if pc > 1:
+        num_h, den_h, cnt_h = allreduce_sum(np.asarray(num, np.float64),
+                                            np.asarray(den, np.float64),
+                                            np.asarray(cnt, np.float64))
+        num = jnp.asarray(num_h, jnp.float32)
+        den = jnp.asarray(den_h, jnp.float32)
+        cnt = jnp.asarray(cnt_h, jnp.float32)
     cnt_c = jnp.maximum(cnt, 1.0)[:, None, None, None]
     scale = (num / cnt_c) / (den / cnt_c + 1e-9)
 

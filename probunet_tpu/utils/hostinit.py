@@ -43,8 +43,12 @@ def ensure_cpu_backend() -> bool:
 
 
 def _cpu_device():
+    # local_devices, NOT devices: in a multi-process run jax.devices("cpu")[0]
+    # is process 0's device — eager dispatch onto a non-addressable device
+    # from another process crashes (segfault observed on the 2-process CPU
+    # cluster). Every process inits on ITS OWN first CPU device.
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except Exception:
         return None
 

@@ -14,6 +14,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from probunet_tpu.parallel.multihost import maybe_initialize_distributed
+
+# Must run before any backend touch (multi-host no-op on a single host).
+maybe_initialize_distributed()
+
 from probunet_tpu.config import get_config
 from probunet_tpu.train.sweep import run_sweep
 

@@ -9,6 +9,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from probunet_tpu.parallel.multihost import maybe_initialize_distributed
+
+# Must run before any backend touch: wires multi-host processes into one
+# global mesh when a coordinator is configured; no-op on a single host.
+maybe_initialize_distributed()
+
 from probunet_tpu.config import Config, get_config
 from probunet_tpu.train.loop import train_baseline
 

@@ -1,0 +1,129 @@
+"""REAL 2-process jax.distributed training parity (VERDICT round-2 ask #1).
+
+Two subprocesses (4 virtual CPU devices each) form one 8-device global mesh
+via ``jax.distributed.initialize`` and run the production ``train_probunet``
+loop end-to-end: year-sharded ingest per process, GLOBAL perpixel stats via
+the cross-process moment all-reduce, lockstep stratified global batches
+assembled with ``make_array_from_process_local_data``, gradient all-reduce
+by XLA/Gloo.
+
+Parity oracle: a single process (8 devices) running the same loop with
+``--data_shards 2`` — which makes the single process compute the *identical*
+global batch plan and global stats over the full year range. Per-step train
+losses and the epoch val loss must agree (tolerances cover cross-host
+reduction-order float noise; step 1 is pre-divergence and must be tight).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from probunet_tpu.data.synthetic import generate_climex_like
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tests", "_multihost_child.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _flags(datadir, metrics_path, plotdir, extra=()):
+    return [
+        # derived from the metrics path so BOTH processes of a leg share one
+        # checkpoint dir (orbax multi-process saves coordinate on it)
+        "--checkpoints_dir", metrics_path + "_ckpt",
+        "--datadir", datadir,
+        "--years_train", "2000,2004", "--years_val", "2004,2005",
+        "--years_test", "2005,2006",
+        "--coords", "0,16,0,16", "--resolution", "16,16",
+        "--lowres_scale", "4", "--standardization", "perpixel",
+        "--batch_size", "8", "--num_epochs", "1", "--log_every", "1",
+        "--latent_dim", "4", "--num_filters", "8,16",
+        "--model_channels", "8", "--channel_mult", "1,2",
+        "--num_blocks", "1", "--attn_resolutions", "8",
+        "--lr", "1e-3", "--seed", "42",
+        "--metrics_path", metrics_path, "--plotdir", plotdir,
+        *extra,
+    ]
+
+
+def _env(n_devices, **extra):
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    # replace any inherited device-count flag with this leg's
+    flags = " ".join(f for f in flags.split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags +
+                        f" --xla_force_host_platform_device_count={n_devices}").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
+def _read_losses(path):
+    steps, val = [], None
+    with open(path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "train_loss" in rec:
+                steps.append(rec["train_loss"])
+            if "val_loss" in rec:
+                val = rec["val_loss"]
+    return np.asarray(steps), val
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo transport")
+def test_two_process_training_matches_single_process(tmp_path):
+    datadir = str(tmp_path / "data")
+    generate_climex_like(datadir, years=range(2000, 2006), grid=16,
+                         days_per_year=16, seed=7)
+
+    # ---- leg A: one process, 8 devices, simulated 2-shard batch plan ----
+    m_single = str(tmp_path / "single.jsonl")
+    cmd = [sys.executable, CHILD] + _flags(datadir, m_single,
+                                           str(tmp_path / "plots_s"),
+                                           extra=("--data_shards", "2"))
+    proc = subprocess.run(cmd, env=_env(8), cwd=REPO, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, f"single-process leg failed:\n{proc.stderr[-4000:]}"
+
+    # ---- leg B: two REAL processes, 4 devices each, one 8-device mesh ----
+    port = _free_port()
+    m_multi = str(tmp_path / "multi.jsonl")
+    procs = []
+    for pid in (0, 1):
+        env = _env(4, COORDINATOR_ADDRESS=f"localhost:{port}",
+                   PROBUNET_NUM_PROCESSES=2, PROBUNET_PROCESS_ID=pid)
+        cmd = [sys.executable, CHILD] + _flags(datadir, m_multi,
+                                               str(tmp_path / f"plots_m{pid}"))
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    # ---- parity: per-step train losses + epoch val loss ----
+    tr_s, val_s = _read_losses(m_single)
+    tr_m, val_m = _read_losses(m_multi)
+    # 4 train years x 16 days = 64 samples, batch 8 stratified over 2 shards
+    # -> 8 lockstep steps per epoch on BOTH legs
+    assert len(tr_s) == len(tr_m) == 8, (len(tr_s), len(tr_m))
+    # step 1 runs on identical params + identical global batch: only
+    # cross-host reduction order differs
+    np.testing.assert_allclose(tr_m[0], tr_s[0], rtol=1e-5)
+    # full-epoch trajectory: float noise compounds through the optimizer
+    np.testing.assert_allclose(tr_m, tr_s, rtol=5e-3)
+    assert val_s is not None and val_m is not None
+    np.testing.assert_allclose(val_m, val_s, rtol=5e-3)

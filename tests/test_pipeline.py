@@ -106,3 +106,86 @@ class TestLoopExtras:
         cfg2 = self._cfg(datadir, tmp_path, resume=os.path.join(cfg.checkpoints_dir, "probunet"))
         res2 = train_probunet(cfg2, make_plots=False)
         assert int(res2["state"].step) == 2 * steps_done
+
+
+class TestShardedStreaming:
+    """VERDICT round-2 ask #4: the streamed batch must land ON the mesh's
+    batch sharding (no in-step reshard) and produce the same training math
+    as the device-resident DP path."""
+
+    def test_stream_batches_honours_shardings(self):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from probunet_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh((-1,), ("data",))
+        hr = _hr(t=16)
+        stats = compute_lr_stats_streaming(hr, 4, "perpixel")
+        items = list(stream_batches(hr, 8, epoch_seed=0, stats_np=stats,
+                                    standardization="perpixel",
+                                    sharding=batch_sharding(mesh),
+                                    replicated_sharding=replicated(mesh)))
+        assert items, "no batches yielded"
+        for item in items:
+            assert item["hr"].sharding.spec == P("data")
+            # perpixel global stats must be REPLICATED, not batch-sharded
+            assert item["stats"][0].sharding.spec == P()
+        # per-sample stats ride on the batch sharding
+        stats_ts = compute_lr_stats_streaming(hr, 4, "pertimestep")
+        item = next(iter(stream_batches(hr, 8, epoch_seed=0, stats_np=stats_ts,
+                                        standardization="pertimestep",
+                                        sharding=batch_sharding(mesh),
+                                        replicated_sharding=replicated(mesh))))
+        assert item["stats"][0].sharding.spec == P("data")
+
+    def test_streamed_step_loss_equals_device_resident(self):
+        """One DP train step on the 8-device mesh: streamed (batch-sharded
+        host->device) == device-resident (time-sharded tensor + index gather),
+        same samples, same rng."""
+        import jax
+        import jax.numpy as jnp
+        from probunet_tpu.data import transforms
+        from probunet_tpu.models import ProbabilisticUNet
+        from probunet_tpu.parallel import (batch_sharding, make_mesh, put_batch,
+                                           put_replicated, replicated)
+        from probunet_tpu.train import create_train_state, make_probunet_train_step
+        from probunet_tpu.train.state import make_optimizer
+
+        mesh = make_mesh((-1,), ("data",))
+        model = ProbabilisticUNet(input_channels=3, num_classes=3, latent_dim=4,
+                                  num_filters=(8,), img_resolution=(16, 16),
+                                  model_channels=8, channel_mult=(1, 2),
+                                  num_blocks=1, attn_resolutions=(8,), dropout=0.1)
+        tx = make_optimizer(lr=1e-3)
+        x0 = jnp.zeros((1, 16, 16, 3))
+        rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        variables = model.init(rngs, x0, x0, method=model.elbo)
+        hr = _hr(t=16)
+        rng = jax.random.key(5)
+        step = make_probunet_train_step(model, tx, 4, "perpixel", donate=False)
+
+        # device-resident leg: full tensor time-sharded, explicit gather ids
+        state_a = put_replicated(create_train_state(variables["params"], tx), mesh)
+        hr_dev = put_batch(jnp.asarray(hr), mesh)
+        stats_dev = put_replicated(
+            transforms.compute_lr_stats(jnp.asarray(hr), 4, "perpixel"), mesh)
+        ids = np.arange(8, 16)
+        _, m_a = step(state_a, hr_dev, stats_dev, put_batch(jnp.asarray(ids), mesh), rng)
+
+        # streamed leg: the same 8 samples arrive as a batch-sharded array
+        state_b = put_replicated(create_train_state(variables["params"], tx), mesh)
+        stats_np = compute_lr_stats_streaming(hr, 4, "perpixel")
+        item = None
+        for it in stream_batches(hr, 8, epoch_seed=0, stats_np=stats_np,
+                                 standardization="perpixel", shuffle=False,
+                                 sharding=batch_sharding(mesh),
+                                 replicated_sharding=replicated(mesh)):
+            item = it  # second (last) batch holds rows 8..15
+        _, m_b = step(state_b, item["hr"], item["stats"],
+                      put_batch(jnp.arange(8), mesh), rng)
+
+        np.testing.assert_allclose(float(m_a["train_loss"]), float(m_b["train_loss"]),
+                                   rtol=2e-6)
+        np.testing.assert_allclose(float(m_a["kl_div"]), float(m_b["kl_div"]),
+                                   rtol=2e-6)
