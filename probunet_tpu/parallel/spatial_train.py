@@ -121,15 +121,145 @@ def make_spatial_probunet_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def train_probunet_spatial(cfg, datasets=None):
+def make_spatial_sample_fn(model, mesh, axis_name: str = "space",
+                           num_samples: int = 3, compute_dtype=jnp.float32):
+    """H-sharded ensemble decode: the UNet features are computed ONCE per
+    input, then K prior draws run through the (cheap, 1x1-conv) Fcomb tail —
+    the same features-reuse idiom as ``train.steps.make_sample_fn`` (the
+    reference recomputes the full UNet per draw,
+    train_prob_unet_model.py:179-182). Returns fn(params, x, rng) ->
+    (B, K, H, W, C) float32 standardized residual draws, H-sharded."""
+    arch = dict(
+        img_resolution=tuple(model.img_resolution),
+        model_channels=model.model_channels,
+        channel_mult=tuple(model.channel_mult),
+        num_blocks=model.num_blocks,
+        attn_resolutions=tuple(model.attn_resolutions),
+    )
+    num_filters = tuple(model.num_filters)
+
+    def fn(params, x, rng):
+        def body(params, xl, rng):
+            from probunet_tpu.ops.distributions import DiagGaussian
+            from probunet_tpu.parallel.spatial_unet import (
+                spatial_fcomb, spatial_gaussian_forward, spatial_unet_forward)
+
+            xl = xl.astype(compute_dtype)
+            feats = spatial_unet_forward(
+                params["unet"], xl, arch["img_resolution"], xl.shape[-1],
+                axis_name, model_channels=arch["model_channels"],
+                channel_mult=arch["channel_mult"], num_blocks=arch["num_blocks"],
+                attn_resolutions=arch["attn_resolutions"])
+            mu, ls = spatial_gaussian_forward(params["prior"], xl, num_filters,
+                                              axis_name)
+            prior = DiagGaussian(mu, ls)
+            outs = []
+            for k in range(num_samples):
+                # same rng on every device -> replicated z per draw
+                z = prior.rsample(jax.random.fold_in(rng, k))
+                outs.append(spatial_fcomb(params["fcomb"], feats, z))
+            return jnp.stack(outs, axis=1).astype(jnp.float32)
+
+        # unchecked: body reaches fused_attention (Pallas) via spatial_unet
+        sm = shard_map_unchecked(body, mesh=mesh,
+                                 in_specs=(P(), P(None, axis_name), P()),
+                                 out_specs=P(None, None, axis_name))
+        return sm(params, x, rng)
+
+    return jax.jit(fn)
+
+
+def _spatial_ensemble_physical(cfg, sample_fn, params, ds, idx, stats_np,
+                               mesh, axis, rng):
+    """Shared plot/CRPS tail: pair synthesis -> H-sharded ensemble decode ->
+    gather -> residual->HR inverse on host. Returns (pair, hr_preds) with
+    hr_preds (B, K, H, W, C) in physical units."""
+    import numpy as np
+
+    from probunet_tpu.data import transforms
+
+    hr = jnp.asarray(ds.hr_np[idx])
+    sl = None
+    if stats_np is not None:
+        sl = transforms.slice_stats(tuple(jnp.asarray(s) for s in stats_np),
+                                    cfg.standardization, jnp.asarray(idx))
+    pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
+    x = put_spatial(pair["inputs"], mesh, axis)
+    preds = jnp.asarray(np.asarray(sample_fn(params, x, rng)))  # gather H
+    if sl is not None and cfg.standardization != "perpixel":
+        sl_k = (sl[0][:, None], sl[1][:, None])
+    else:
+        sl_k = sl
+    hr_preds = transforms.residual_to_hr(preds, pair["lrinterp"][:, None],
+                                         cfg.standardization, sl_k)
+    return pair, hr_preds
+
+
+def _plot_spatial_samples(cfg, sample_fn, params, ds_test, stats_test_np,
+                          mesh, axis, epoch):
+    """Sampling plots every 2 epochs — the reference main.py:125-134 contract,
+    matched with the DP loop's _plot_probunet_samples."""
+    import os
+
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from probunet_tpu.viz import plot_sample_batch
+
+    n = min(2, len(ds_test))
+    idx = np.random.default_rng(epoch).integers(0, len(ds_test), size=n)
+    pair, hr_preds = _spatial_ensemble_physical(
+        cfg, sample_fn, params, ds_test, idx, stats_test_np, mesh, axis,
+        jax.random.key(epoch))
+    fig, _ = plot_sample_batch(np.asarray(pair["lrinterp"]), np.asarray(hr_preds),
+                               np.asarray(pair["hr"]),
+                               ds_test.timestamps_np[idx], epoch, cfg.variables,
+                               lat=ds_test.lat, lon=ds_test.lon,
+                               N=n, num_samples=cfg.num_samples)
+    fig.savefig(os.path.join(cfg.plotdir, f"epoch{epoch}.png"), dpi=150)
+    plt.close(fig)
+
+
+def _spatial_crps_metrics(cfg, sample_fn, params, ds_val, stats_val_np, mesh,
+                          axis, eval_rng, max_batches: int = 16):
+    """Ensemble CRPS + ensemble-mean MAE in physical units on the val split —
+    same metric surface as train.steps.make_crps_eval_fn, decoded through the
+    H-sharded ensemble tail."""
+    import numpy as np
+
+    from probunet_tpu.data.units import k_to_c, kgm2s_to_mmday
+    from probunet_tpu.ops.crps import crps_empirical
+
+    def to_physical(field, var):
+        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
+
+    acc = {}
+    vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+    for bi in range(min(vbatches.shape[0], max_batches)):
+        idx = vbatches[bi]
+        pair, hr_preds = _spatial_ensemble_physical(
+            cfg, sample_fn, params, ds_val, idx, stats_val_np, mesh, axis,
+            jax.random.fold_in(eval_rng, 10_000 + bi))
+        ens = jnp.swapaxes(hr_preds, 0, 1)           # (K, B, H, W, C)
+        hr = pair["hr"]
+        for i, var in enumerate(cfg.variables):
+            p = to_physical(ens[..., i], var)
+            t = to_physical(hr[..., i], var)
+            acc.setdefault(f"crps_{var}", []).append(
+                float(crps_empirical(p, t).mean()))
+            acc.setdefault(f"ensmean_mae_{var}", []).append(
+                float(jnp.abs(p.mean(axis=0) - t).mean()))
+    return {k: float(np.mean(v)) for k, v in acc.items()}
+
+
+def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     """Experiment driver for tiles beyond one chip's HBM: the height axis is
     sharded across ALL devices (model parallelism), batches stream from host,
     and every train/eval step is the shard_map'd ELBO. The counterpart of
-    ``train.loop.train_probunet`` for ``--parallel_mode spatial``.
-
-    Plot generation is intentionally not wired here (an H-gathered ensemble
-    decode exists in ``spatial_unet.spatial_probunet_forward`` for offline
-    use); metrics/checkpoints match the DP loop's contract.
+    ``train.loop.train_probunet`` for ``--parallel_mode spatial``, with the
+    same feature surface: sampling plots every 2 epochs over the test split
+    (reference main.py:125-134) and optional ensemble CRPS eval, both decoded
+    through the H-sharded ensemble tail (:func:`make_spatial_sample_fn`).
     """
     import os
 
@@ -147,7 +277,7 @@ def train_probunet_spatial(cfg, datasets=None):
     axis = "space"
     mesh = make_mesh((-1,), (axis,))
     datasets = datasets or load_datasets(cfg)
-    ds_train, ds_val = datasets["train"], datasets["val"]
+    ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     model = build_probunet(cfg)
@@ -164,6 +294,12 @@ def train_probunet_spatial(cfg, datasets=None):
                                             dtype, donate=cfg.donate_state,
                                             remat=cfg.remat, accum=cfg.accum)
     eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype)
+    sample_fn = make_spatial_sample_fn(model, mesh, axis, cfg.num_samples, dtype)
+    crps_sample_fn = None
+    if cfg.eval_crps:
+        # built once (a fresh jit per epoch would recompile — loop.py:146 rule)
+        crps_sample_fn = make_spatial_sample_fn(model, mesh, axis,
+                                                cfg.crps_samples, dtype)
 
     # Host-resident data (the whole point of this mode); global stats streamed.
     stats_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
@@ -183,6 +319,8 @@ def train_probunet_spatial(cfg, datasets=None):
 
     stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
                                               cfg.standardization)
+    stats_test_np = compute_lr_stats_streaming(ds_test.hr_np, cfg.lowres_scale,
+                                               cfg.standardization)
     os.makedirs(cfg.plotdir, exist_ok=True)
     logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
                           use_wandb=cfg.wandb)
@@ -219,6 +357,20 @@ def train_probunet_spatial(cfg, datasets=None):
         val_losses.append(float(jnp.mean(jnp.stack(vloss))))
         logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
                     "val_loss": val_losses[-1]}, step=step_count)
+
+        # ---- optional ensemble CRPS on the val split (DP-loop contract) ----
+        if crps_sample_fn is not None:
+            crps_metrics = _spatial_crps_metrics(
+                cfg, crps_sample_fn, state.params, ds_val, stats_val_np,
+                mesh, axis, eval_rng)
+            logger.log(crps_metrics, step=step_count)
+
+        # ---- sampling plots every 2 epochs over the test split
+        # (reference main.py:125-134, same cadence as the DP loop) ----
+        if make_plots and epoch % 2 == 0:
+            _plot_spatial_samples(cfg, sample_fn, state.params, ds_test,
+                                  stats_test_np, mesh, axis, epoch)
+
         save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
                         jax.device_get(state))
     logger.close()

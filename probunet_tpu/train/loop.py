@@ -116,7 +116,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # H-axis model parallelism for tiles beyond one chip's HBM: the whole
         # ELBO runs inside a shard_map (halo convs, psum GN, sharded dropout).
         from probunet_tpu.parallel.spatial_train import train_probunet_spatial
-        return train_probunet_spatial(cfg, datasets)
+        return train_probunet_spatial(cfg, datasets, make_plots=make_plots)
     from probunet_tpu.parallel.multihost import make_plan
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)

@@ -148,7 +148,10 @@ class TestSpatialTrainStep:
 
     def test_parallel_mode_spatial_e2e(self, tmp_path):
         """train_probunet with --parallel_mode spatial: full epoch loop on
-        synthetic host data, metrics + checkpoint produced, losses finite."""
+        synthetic host data with the SAME feature contract the DP loop's e2e
+        test asserts (test_loop.py): metrics + checkpoint + epoch-2 sampling
+        plot over the test split + CRPS metrics; losses finite."""
+        import json
         import os
 
         from probunet_tpu.config import Config
@@ -164,13 +167,25 @@ class TestSpatialTrainStep:
                      model_channels=32, channel_mult=(1, 2), num_blocks=1,
                      attn_resolutions=(16,), dropout=0.1, batch_size=4,
                      num_epochs=2, parallel_mode="spatial", remat=True,
+                     eval_crps=True, crps_samples=4, num_samples=2,
                      plotdir=os.path.join(str(tmp_path), "plots"),
                      checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
-        res = train_probunet(cfg, datasets=datasets, make_plots=False)
+        res = train_probunet(cfg, datasets=datasets, make_plots=True)
         assert len(res["tr_losses"]) == 2
         assert np.isfinite(res["tr_losses"]).all() and np.isfinite(res["val_losses"]).all()
         assert os.path.isdir(os.path.join(cfg.checkpoints_dir, "probunet"))
-        assert os.path.exists(os.path.join(cfg.plotdir, "metrics.jsonl"))
+        metrics_path = os.path.join(cfg.plotdir, "metrics.jsonl")
+        assert os.path.exists(metrics_path)
+        # reference main.py:125-134: a sample plot every 2 epochs
+        assert os.path.exists(os.path.join(cfg.plotdir, "epoch2.png"))
+        # CRPS metrics logged per epoch, per variable, finite
+        recs = [json.loads(l) for l in open(metrics_path)]
+        crps = [r for r in recs if any(k.startswith("crps_") for k in r)]
+        assert len(crps) == 2, "one CRPS record per epoch"
+        for r in crps:
+            for var in cfg.variables:
+                assert np.isfinite(r[f"crps_{var}"])
+                assert np.isfinite(r[f"ensmean_mae_{var}"])
 
     def test_eval_elbo_deterministic_given_rng(self, mesh, model_and_params):
         m, params = model_and_params
