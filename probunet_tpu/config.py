@@ -30,8 +30,9 @@ class Config:
     timetransform: str = "id"            # {"id", "cyclic"}
     standardization: str = "perpixel"    # {"none", "perpixel", "pertimestep", "minmax"}
 
-    # --- model selection (reference trainmodel.py:33) ---
-    ds_model: str = "probabilistic_unet"  # {deterministic_unet, probabilistic_unet, linearcnn, bcsd}
+    # --- model selection (reference trainmodel.py:33; "edm" makes the
+    # reference's dead EDMPrecond a live diffusion downscaler) ---
+    ds_model: str = "probabilistic_unet"  # {deterministic_unet, probabilistic_unet, linearcnn, bcsd, edm}
 
     # --- prob-U-Net architecture (reference main.py:32-37, prob_unet.py:129) ---
     latent_dim: int = 6
@@ -85,12 +86,16 @@ class Config:
 
     # --- eval / sampling ---
     num_samples: int = 3            # ensemble members for sampling plots
+    edm_steps: int = 18             # EDM Heun sampler steps (ds_model="edm")
     eval_seed: int = 1234           # seeded stochastic eval (reference eval samples the posterior)
     eval_crps: bool = False         # ensemble CRPS eval in physical units after each epoch
     crps_samples: int = 16          # ensemble size for CRPS (BASELINE config #3)
     resume: str = ""                # checkpoint directory to resume from
 
     def __post_init__(self) -> None:
+        if self.ds_model not in ("deterministic_unet", "probabilistic_unet",
+                                 "linearcnn", "bcsd", "edm"):
+            raise ValueError(f"unknown ds_model {self.ds_model!r}")
         if self.standardization not in ("none", "perpixel", "pertimestep", "minmax"):
             raise ValueError(f"unknown standardization {self.standardization!r}")
         if self.timetransform not in ("id", "cyclic"):

@@ -48,17 +48,26 @@ def downscale(
         cfg.datadir, years=years, variables=cfg.variables, coords=cfg.coords,
         lowres_scale=cfg.lowres_scale, standardization=cfg.standardization)
 
-    model = build_probunet(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
                         state_dtype=cfg.opt_state_dtype)
-    # Abstract (eval_shape) restore template: no real init on the serving path.
-    template = abstract_probunet_state(cfg, model, tx)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.ds_model == "edm":
+        # diffusion downscaler: Heun ensemble sampler, same output contract
+        from probunet_tpu.train import make_edm_sample_fn
+        from probunet_tpu.train.loop import abstract_edm_state, build_edm_model
+        model = build_edm_model(cfg)
+        template = abstract_edm_state(cfg, model, tx)
+        sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
+                                       num_samples, cfg.edm_steps,
+                                       compute_dtype=dtype)
+    else:
+        model = build_probunet(cfg)
+        # Abstract (eval_shape) restore template: no real init on the serving path.
+        template = abstract_probunet_state(cfg, model, tx)
+        sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
+                                   num_samples, dtype)
     state = restore_checkpoint(checkpoint_dir, template)
     params = jax.device_put(state.params, jax.devices()[0])
-
-    sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
-                               num_samples,
-                               jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
     hr_all = ds.hr_device()
     stats = ds.stats
     rng = jax.random.key(seed)

@@ -355,6 +355,147 @@ def _label_dim(cfg: Config) -> int:
     return 2 if cfg.timetransform == "cyclic" else 0
 
 
+def build_edm_model(cfg: Config):
+    """EDM-preconditioned diffusion downscaler (the reference ships
+    EDMPrecond dead, networks.py:339-389; ds_model="edm" trains it). The
+    denoiser UNet sees the noisy residual channel-concatenated with the
+    LR-interp conditioning image."""
+    from probunet_tpu.models import EDMPrecond
+
+    return EDMPrecond(
+        img_resolution=tuple(cfg.resolution),
+        in_channels=2 * cfg.nvars,
+        out_channels=cfg.nvars,
+        model_channels=cfg.model_channels,
+        channel_mult=tuple(cfg.channel_mult),
+        num_blocks=cfg.num_blocks,
+        attn_resolutions=tuple(cfg.attn_resolutions),
+        dropout=cfg.dropout)
+
+
+def init_edm_state(cfg: Config, model, tx):
+    from probunet_tpu.utils.hostinit import init_on_cpu
+
+    h, w = cfg.resolution
+    variables = init_on_cpu(lambda: model.init(
+        {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(cfg.seed + 1)},
+        jnp.zeros((1, h, w, cfg.nvars)), jnp.ones((1,)),
+        condition_img=jnp.zeros((1, h, w, cfg.nvars))))
+    return create_train_state(variables["params"], tx)
+
+
+def abstract_edm_state(cfg: Config, model, tx):
+    """eval_shape-only restore template (no real init on the serving path,
+    mirroring abstract_probunet_state)."""
+    from probunet_tpu.train.state import TrainState
+
+    h, w = cfg.resolution
+    variables = jax.eval_shape(lambda: model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+        jnp.zeros((1, h, w, cfg.nvars)), jnp.ones((1,)),
+        condition_img=jnp.zeros((1, h, w, cfg.nvars))))
+    params = variables["params"]
+    opt_state = jax.eval_shape(tx.init, params)
+    return TrainState(params, opt_state, jax.ShapeDtypeStruct((), jnp.int32))
+
+
+def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
+              make_plots: bool = True) -> Dict:
+    """Diffusion-based downscaling driver (ds_model="edm"): denoising-score-
+    matching training (train.steps.make_edm_train_step), seeded DSM eval,
+    Heun-sampled ensembles for the every-2-epochs plots (same contract as the
+    prob-U-Net loop), checkpoints. Completes the 'make the dead code live'
+    story for the reference's unused EDMPrecond."""
+    from probunet_tpu.train import (make_edm_eval_step, make_edm_sample_fn,
+                                    make_edm_train_step)
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    datasets = datasets or load_datasets(cfg)
+    ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
+    dtype = _compute_dtype(cfg)
+
+    model = build_edm_model(cfg)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
+                        state_dtype=cfg.opt_state_dtype)
+    state = init_edm_state(cfg, model, tx)
+    if cfg.resume:
+        from probunet_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(cfg.resume, state)
+        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+    state = put_replicated(state, mesh)
+
+    train_step = make_edm_train_step(model, tx, cfg.lowres_scale, cfg.standardization,
+                                     compute_dtype=dtype, donate=cfg.donate_state)
+    eval_step = make_edm_eval_step(model, cfg.lowres_scale, cfg.standardization,
+                                   compute_dtype=dtype)
+    sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
+                                   cfg.num_samples, cfg.edm_steps,
+                                   compute_dtype=dtype)
+
+    nd = mesh.devices.size
+    def put_data(a):
+        if nd > 1 and a.shape[0] % nd == 0:
+            return put_batch(a, mesh)
+        return put_replicated(a, mesh)
+    def put_idx(idx):
+        return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
+    hr_train = put_data(ds_train.hr_device())
+    hr_val = put_data(ds_val.hr_device())
+    stats_train = put_replicated(ds_train.stats, mesh)
+    stats_val = put_replicated(ds_val.stats, mesh)
+
+    os.makedirs(cfg.plotdir, exist_ok=True)
+    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_edm.jsonl"),
+                          use_wandb=cfg.wandb)
+    timer = StepTimer(cfg.profile_dir)
+    rng = jax.random.key(cfg.seed + 3, impl=cfg.rng_impl)
+    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
+
+    tr_losses, val_losses = [], []
+    step_count = 0
+    for epoch in range(1, cfg.num_epochs + 1):
+        running = []
+        timer.reset()
+        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+        for bi in progress(range(batches.shape[0]),
+                           desc=f"Train(edm) :: Epoch: {epoch}/{cfg.num_epochs}"):
+            idx = put_idx(jnp.asarray(batches[bi]))
+            state, metrics = train_step(state, hr_train, stats_train, idx, rng)
+            step_count += 1
+            timer.tick(cfg.batch_size)
+            running.append(metrics["train_loss"])
+            if step_count % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["samples_per_sec"] = timer.rate()
+                logger.log(m, step=step_count)
+        tr_losses.append(float(jnp.mean(jnp.stack(running))))
+
+        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+        vloss = []
+        for bi in range(vbatches.shape[0]):
+            idx = put_idx(jnp.asarray(vbatches[bi]))
+            m = eval_step(state.params, hr_val, stats_val, idx,
+                          jax.random.fold_in(eval_rng, bi))
+            vloss.append(m["val_loss"])
+        val_losses.append(float(jnp.mean(jnp.stack(vloss))))
+        logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
+                    "val_loss": val_losses[-1]}, step=step_count)
+
+        if make_plots and epoch % 2 == 0:
+            # make_edm_sample_fn shares make_sample_fn's surface, so the
+            # prob-U-Net plot helper serves the diffusion ensemble unchanged
+            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch)
+
+        save_checkpoint(os.path.join(cfg.checkpoints_dir, "edm"), jax.device_get(state))
+
+    if make_plots:
+        from probunet_tpu.viz import plot_loss_curves
+        plot_loss_curves(tr_losses, val_losses, os.path.join(cfg.plotdir, "loss_edm.png"))
+    logger.close()
+    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses,
+            "samples_per_sec": timer.rate()}
+
+
 def build_baseline_model(cfg: Config):
     if cfg.ds_model == "deterministic_unet":
         # reference baseline/deterministic_unet.py:232,274: width 64, no attention.
@@ -385,6 +526,8 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
 
     if cfg.ds_model == "bcsd":
         return run_bcsd(cfg, datasets)
+    if cfg.ds_model == "edm":
+        return train_edm(cfg, datasets, make_plots)
 
     plan = make_plan(cfg, ds_train, mesh)
     model = build_baseline_model(cfg)

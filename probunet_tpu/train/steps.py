@@ -276,10 +276,11 @@ def make_edm_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def edm_sample(model, params, x_cond, rng, num_steps: int = 18,
-               sigma_min: float = 0.002, sigma_max: float = 80.0, rho: float = 7.0):
-    """Deterministic EDM (Heun) sampler: draws one residual field per input
-    conditioned on the LR-interp tiles. Returns (B, H, W, C)."""
+def _edm_heun_chain(model, params, x_cond, rng, num_steps: int,
+                    sigma_min: float, sigma_max: float, rho: float):
+    """Deterministic EDM (Heun, 2nd order) sampling chain: noise -> residual,
+    conditioned on the LR-interp tiles (Karras et al. schedule). Traced body —
+    callers jit it."""
     b, h, w, c = x_cond.shape
     steps = jnp.arange(num_steps, dtype=jnp.float32)
     t = (sigma_max ** (1 / rho)
@@ -302,6 +303,74 @@ def edm_sample(model, params, x_cond, rng, num_steps: int = 18,
         return jax.lax.cond(t_next > 0, heun, lambda _: x_euler, None)
 
     return jax.lax.fori_loop(0, num_steps, body, x)
+
+
+def edm_sample(model, params, x_cond, rng, num_steps: int = 18,
+               sigma_min: float = 0.002, sigma_max: float = 80.0, rho: float = 7.0):
+    """One EDM (Heun) residual draw per input, (B, H, W, C) — JITTED (one XLA
+    program per (shape, num_steps); the loop runs on device, not 2x num_steps
+    host dispatches)."""
+    fn = jax.jit(functools.partial(_edm_heun_chain, model, num_steps=num_steps,
+                                   sigma_min=sigma_min, sigma_max=sigma_max, rho=rho))
+    return fn(params, x_cond, rng)
+
+
+def make_edm_eval_step(model, lowres_scale: int, standardization: str,
+                       p_mean: float = -1.2, p_std: float = 1.2,
+                       sigma_data: float = 1.0, compute_dtype=jnp.float32):
+    """Seeded denoising-score-matching loss on a held-out split (the EDM
+    counterpart of the seeded stochastic prob-U-Net eval)."""
+
+    def step(params, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        y = pair["targets"].astype(jnp.float32)
+        r_sigma, r_noise = jax.random.split(rng)
+        b = y.shape[0]
+        sigma = jnp.exp(p_mean + p_std * jax.random.normal(r_sigma, (b,)))
+        noise = jax.random.normal(r_noise, y.shape) * sigma[:, None, None, None]
+        weight = ((sigma ** 2 + sigma_data ** 2) / ((sigma * sigma_data) ** 2))
+        d = model.apply({"params": params}, (y + noise).astype(compute_dtype), sigma,
+                        condition_img=x, train=False)
+        per = jnp.mean(jnp.square(d.astype(jnp.float32) - y), axis=(1, 2, 3))
+        return {"val_loss": jnp.mean(weight * per)}
+
+    return jax.jit(step)
+
+
+def make_edm_sample_fn(model, lowres_scale: int, standardization: str,
+                       num_samples: int, num_steps: int = 18,
+                       sigma_min: float = 0.002, sigma_max: float = 80.0,
+                       rho: float = 7.0, compute_dtype=jnp.float32):
+    """Jitted EDM ensemble downscaling: K Heun chains folded into the BATCH
+    axis (one (K*B)-batch chain — MXU-efficient, vs K sequential chains),
+    residual->HR inverse on device. Returns fn(params, hr_all, stats, idx,
+    rng) -> ((B, K, H, W, C) physical HR fields, pair dict) — the same
+    surface as make_sample_fn so serving/plots treat both models uniformly."""
+
+    def fn(params, hr_all, stats, idx, rng):
+        hr = hr_all[idx]
+        sl = transforms.slice_stats(stats, standardization, idx)
+        pair = transforms.make_pair(hr, lowres_scale, standardization, sl)
+        x = pair["inputs"].astype(compute_dtype)
+        b, h, w, c = x.shape
+        k = num_samples
+        x_rep = jnp.broadcast_to(x[None], (k,) + x.shape).reshape(k * b, h, w, c)
+        residual = _edm_heun_chain(model, params, x_rep, rng, num_steps,
+                                   sigma_min, sigma_max, rho)
+        preds = residual.astype(jnp.float32).reshape(k, b, h, w, c)
+        preds = jnp.swapaxes(preds, 0, 1)                      # (B, K, H, W, C)
+        if sl is not None and standardization != "perpixel":
+            sl_k = (sl[0][:, None], sl[1][:, None])
+        else:
+            sl_k = sl
+        hr_preds = transforms.residual_to_hr(
+            preds, pair["lrinterp"][:, None], standardization, sl_k)
+        return hr_preds, pair
+
+    return jax.jit(fn)
 
 
 def make_deterministic_train_step(

@@ -3,6 +3,10 @@
 
     python scripts/downscale.py --checkpoint ./results/checkpoints/probunet \
         --out ./results/downscaled.nc --num_samples 16 [config flags...]
+
+    # diffusion (EDM Heun) ensembles from a ds_model=edm checkpoint:
+    python scripts/downscale.py --checkpoint ./results/checkpoints/edm \
+        --ds_model edm --edm_steps 18 --out ./results/downscaled.nc
 """
 
 import argparse
