@@ -120,20 +120,26 @@ def main():
         f"{samples_per_sec / base:.0f}x")
     log(f"context: reference recorded 64x64 run = {RECORDED_64_SAMPLES_PER_SEC:.1f} samples/s")
 
-    # secondary: 16-draw ensemble inference (BASELINE config #3), stderr only
+    # secondary: 16-draw ensemble inference (BASELINE config #3), stderr only.
+    # TWO timed windows, report the second: the first timed window of a
+    # freshly-started executable on this runtime reads ~2x slow (a per-process
+    # warmup artifact, NOT real inference cost — it inflated rounds 1-2's
+    # inference numbers; see NOTES.md and scripts/inference_ab.py).
     from probunet_tpu.train import make_sample_fn
     sample_fn = make_sample_fn(model, 4, "perpixel", 16, compute_dtype)
     hp, _ = sample_fn(state.params, hr, stats, idx0, rng)
     float(hp.sum())
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(20):
-        hp, _ = sample_fn(state.params, hr, stats, (idx0 + i * batch) % t, rng)
-        acc = hp if acc is None else acc + hp  # chain to prevent elision
-    float(acc.sum())
-    inf_dt = (time.perf_counter() - t0) / 20
+    for window in range(2):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(20):
+            hp, _ = sample_fn(state.params, hr, stats, (idx0 + i * batch) % t, rng)
+            acc = hp if acc is None else acc + hp  # chain to prevent elision
+        float(acc.sum())
+        inf_dt = (time.perf_counter() - t0) / 20
     log(f"inference (16-draw ensembles): {batch / inf_dt:.1f} inputs/s = "
-        f"{16 * batch / inf_dt:.0f} ensemble members/s at {res}x{res}")
+        f"{16 * batch / inf_dt:.0f} ensemble members/s at {res}x{res} "
+        f"(second window)")
 
     print(json.dumps({
         "metric": f"probunet_train_samples_per_sec_{res}x{res}_b{batch}",

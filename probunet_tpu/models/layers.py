@@ -261,7 +261,10 @@ def attention_weights(q: jax.Array, k: jax.Array, fast: bool = False) -> jax.Arr
         return jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
     qf = q.astype(jnp.float32)
     kf = (k / np.sqrt(c)).astype(jnp.float32)
-    w = jnp.einsum("bqhc,bkhc->bhqk", qf, kf)
+    # HIGHEST is required for the math to actually BE fp32 on TPU: a default-
+    # precision f32 einsum lowers to a single bf16 MXU pass there, silently
+    # degrading the reference's fp32 AttentionOp contract (identical on CPU).
+    w = jnp.einsum("bqhc,bkhc->bhqk", qf, kf, precision=jax.lax.Precision.HIGHEST)
     return jax.nn.softmax(w, axis=-1).astype(q.dtype)
 
 

@@ -11,8 +11,12 @@ custom VJP recomputes them in row chunks (flash-attention style) instead of
 saving them.
 
 Numerics:
-- ``fast=False`` (reference parity): Q, K, V promoted to fp32, HIGHEST-precision
-  MXU matmuls, fp32 softmax — the reference's full-fp32 AttentionOp math.
+- ``fast=False`` (reference parity): Q, K promoted to fp32, HIGHEST-precision
+  QK^T, fp32 softmax — the reference's fp32 AttentionOp contract
+  (networks.py:112-125). The PV product runs at the model compute dtype with
+  HIGHEST precision (a no-op for bf16, honest fp32 for f32 compute), exactly
+  like the reference's model-dtype PV einsum (networks.py:183) and the
+  unfused fallback.
 - ``fast=True`` (production): bf16 QK^T/PV inputs with fp32 MXU accumulation,
   fp32 softmax — the bf16 fast path of ``layers.attention_weights`` but
   *more* accurate (the unfused path rounds the logits to bf16 in HBM).
@@ -42,7 +46,13 @@ _ROW_CHUNK = 256  # backward-pass q-row tile (VMEM: chunk x L fp32 intermediates
 
 
 def _prep(q, k, scale, fast):
-    """Apply the reference's scaling/cast policy to the logits operands."""
+    """Apply the reference's scaling/cast policy to the logits operands.
+
+    NOTE for anyone microbenchmarking this kernel: the FIRST pallas timing
+    window in a process reads ~10x slow (a per-process warmup artifact of
+    this runtime, ~9 ms/call during the first ~50-call window; the identical
+    executable timed later in the same process runs at full speed). Always
+    interleave/repeat measurements — see NOTES.md."""
     if fast:
         return q, (k * scale).astype(q.dtype)
     return q.astype(jnp.float32), k.astype(jnp.float32) * scale
@@ -64,13 +74,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, fast):
     s = _logits(q2, k2, fast)
     p = jax.nn.softmax(s, axis=-1)
     v = v_ref[0]
-    if fast:
-        p = p.astype(v.dtype)
-        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    else:
-        out = jnp.dot(p, v.astype(jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
+    # PV runs at the model compute dtype in BOTH modes — the reference's fp32
+    # contract covers only QK^T + softmax (AttentionOp, networks.py:112-125);
+    # its PV einsum runs at model dtype (networks.py:183). This matches the
+    # _xla_attention fallback exactly (w.astype(q.dtype) then PV) and is ~6x
+    # cheaper on bf16 runs than the fp32 6-pass PV the kernel used before.
+    # HIGHEST is a no-op on bf16 operands and keeps f32 compute honest.
+    p = p.astype(v.dtype)
+    # Mosaic rejects an fp32 contract_precision on bf16 operands, so HIGHEST
+    # is applied only when PV really runs in f32 (f32 compute dtype)
+    pv_prec = jax.lax.Precision.HIGHEST if (not fast and v.dtype == jnp.float32) else None
+    out = jnp.dot(p, v, precision=pv_prec, preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -90,16 +104,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
     v = v_ref[0]
     do = do_ref[0]
-    vf = v if fast else v.astype(jnp.float32)
-    dof = do if fast else do.astype(jnp.float32)
+    # gradients THROUGH the model-dtype PV stay in that dtype (see the fwd
+    # kernel note); only the dq/dk legs below, which differentiate the fp32
+    # HIGHEST logits, stay fp32 in strict mode
+    vf = v
+    dof = do
     pc = p.astype(vf.dtype)
 
     # dV += P^T dO ; dP = dO V^T ; dS = P * (dP - rowsum(dP*P)) ;
     # dQ = dS K * scale ; dK += dS^T Q * scale
+    # dv/dp differentiate the model-dtype PV: HIGHEST only when that's f32
+    # (Mosaic rejects fp32 contract_precision on bf16 operands)
+    pv_prec = (jax.lax.Precision.HIGHEST
+               if (not fast and vf.dtype == jnp.float32) else None)
     dv = jax.lax.dot_general(pc, dof, (((0,), (0,)), ((), ())),
-                             precision=prec, preferred_element_type=jnp.float32)
+                             precision=pv_prec, preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(dof, vf, (((1,), (1,)), ((), ())),
-                             precision=prec, preferred_element_type=jnp.float32)
+                             precision=pv_prec, preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32 (CHUNK, L)
     dsc = ds.astype(q_ref.dtype) if fast else ds
     kq = k_ref[0] if fast else k_ref[0].astype(jnp.float32)
@@ -170,16 +191,23 @@ def _bwd_pallas(q, k, v, do, fast, interpret=False):
 
 
 def _xla_attention(q, k, v, fast):
-    """Unfused fallback — identical math to layers.attention_weights + PV."""
+    """Unfused fallback — identical math to layers.attention_weights + PV.
+
+    The strict QK^T einsum needs HIGHEST precision explicitly: a default-
+    precision f32 einsum is a single bf16 MXU pass on TPU, which would
+    silently break the fp32 AttentionOp contract (networks.py:112-125)."""
     c = k.shape[-1]
     if fast:
         w = jnp.einsum("bqhc,bkhc->bhqk", q, (k / np.sqrt(c)).astype(q.dtype))
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
     else:
         w = jnp.einsum("bqhc,bkhc->bhqk", q.astype(jnp.float32),
-                       (k / np.sqrt(c)).astype(jnp.float32))
+                       (k / np.sqrt(c)).astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
         w = jax.nn.softmax(w, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhc->bqhc", w, v)
+    # HIGHEST: no-op for bf16 operands, honest fp32 for f32 compute
+    return jnp.einsum("bhqk,bkhc->bqhc", w, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _kernel_ok(q) -> bool:
