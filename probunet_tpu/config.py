@@ -68,7 +68,9 @@ class Config:
     # --- parallelism ---
     mesh_shape: Tuple[int, ...] = (-1,)          # -1 => all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
-    parallel_mode: str = "data"    # {"data", "spatial"}: spatial = H-axis model parallelism
+    # "data" = DP mesh; "spatial" = H-axis model parallelism; "2d" = both at
+    # once on a (data, space) mesh (--mesh_shape dp,-1)
+    parallel_mode: str = "data"
     device_resident_data: bool = True            # keep the full HR tensor in HBM
     # Ingest shard count for the lockstep multi-host batch plan. 0 = auto
     # (jax.process_count()). Setting >1 on a SINGLE process reproduces the
@@ -104,7 +106,7 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.opt_state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown opt_state_dtype {self.opt_state_dtype!r}")
-        if self.parallel_mode not in ("data", "spatial"):
+        if self.parallel_mode not in ("data", "spatial", "2d"):
             raise ValueError(f"unknown parallel_mode {self.parallel_mode!r}")
 
     # ---- convenience ----

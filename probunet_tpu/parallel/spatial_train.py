@@ -51,9 +51,11 @@ from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
 from probunet_tpu.train.state import TrainState
 
 
-def put_spatial(x: jax.Array, mesh, axis_name: str = "space") -> jax.Array:
-    """Device-put a (B, H, ...) array H-sharded over the mesh axis."""
-    return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+def put_spatial(x: jax.Array, mesh, axis_name: str = "space",
+                batch_axis_name: str | None = None) -> jax.Array:
+    """Device-put a (B, H, ...) array H-sharded over the mesh axis; with
+    ``batch_axis_name`` the batch axis is sharded too (2D data x spatial)."""
+    return jax.device_put(x, NamedSharding(mesh, P(batch_axis_name, axis_name)))
 
 
 def make_spatial_probunet_train_step(
@@ -66,6 +68,7 @@ def make_spatial_probunet_train_step(
     donate: bool = True,
     remat: bool = True,
     accum: int = 1,
+    batch_axis_name: Optional[str] = None,
 ):
     """Returns step(state, x, y, rng) -> (state, metrics) where x/y are
     H-sharded (B, H, W, C) standardized input/target batches.
@@ -75,6 +78,12 @@ def make_spatial_probunet_train_step(
     functional spatial kernels). Pair synthesis happens upstream (the HR
     tensor for tiles this large streams from host), unlike the fused DP step
     which gathers from a device-resident dataset tensor.
+
+    ``batch_axis_name`` composes DATA parallelism with the spatial sharding
+    (2D mesh, e.g. ``make_mesh((dp, -1), ("data", "space"))``): the batch
+    axis shards over it, the ELBO scalars psum over both axes, and the
+    replicated-params transpose all-reduces the gradients over the WHOLE
+    mesh — dp x sp scaling in one shard_map.
     """
     beta_fn = beta_fn or (lambda step: jnp.float32(model.beta))
     accum = max(1, int(accum))
@@ -87,6 +96,7 @@ def make_spatial_probunet_train_step(
         attn_resolutions=tuple(model.attn_resolutions),
     )
     dropout = float(model.dropout)
+    xy_spec = P(batch_axis_name, axis_name)
 
     def sharded_elbo(params, x, y, rng, beta):
         def body(params, xl, yl, rng, beta):
@@ -94,12 +104,13 @@ def make_spatial_probunet_train_step(
             return spatial_probunet_elbo(
                 params, xl.astype(compute_dtype), yl.astype(compute_dtype),
                 axis_name=axis_name, beta=beta, rng=r_latent,
-                dropout=dropout, dropout_rng=r_drop, remat=remat, **arch)
+                dropout=dropout, dropout_rng=r_drop, remat=remat,
+                batch_axis_name=batch_axis_name, **arch)
 
         # unchecked: body reaches fused_attention (Pallas) via spatial_unet
         fn = shard_map_unchecked(
             body, mesh=mesh,
-            in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
+            in_specs=(P(), xy_spec, xy_spec, P(), P()),
             out_specs=(P(), P(), P()))
         return fn(params, x, y, rng, beta)
 
@@ -260,6 +271,11 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     same feature surface: sampling plots every 2 epochs over the test split
     (reference main.py:125-134) and optional ensemble CRPS eval, both decoded
     through the H-sharded ensemble tail (:func:`make_spatial_sample_fn`).
+
+    ``--parallel_mode 2d`` composes DATA parallelism on top: a
+    (data, space) mesh (``--mesh_shape dp,-1``), batch sharded over ``data``,
+    H over ``space`` — the pod-scale layout where spatial groups of sp chips
+    each hold a batch shard and gradients all-reduce over the whole mesh.
     """
     import os
 
@@ -275,7 +291,18 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
 
     axis = "space"
-    mesh = make_mesh((-1,), (axis,))
+    two_d = cfg.parallel_mode == "2d"
+    if two_d:
+        shape = tuple(cfg.mesh_shape) if len(cfg.mesh_shape) == 2 else (2, -1)
+        mesh = make_mesh(shape, ("data", axis))
+        batch_axis = "data"
+        dp = mesh.shape["data"]
+        if cfg.batch_size % dp:
+            raise ValueError(f"batch_size {cfg.batch_size} must divide the "
+                             f"data mesh axis ({dp}) in 2d mode")
+    else:
+        mesh = make_mesh((-1,), (axis,))
+        batch_axis = None
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -292,8 +319,10 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
     step = make_spatial_probunet_train_step(model, tx, mesh, axis, beta_fn,
                                             dtype, donate=cfg.donate_state,
-                                            remat=cfg.remat, accum=cfg.accum)
-    eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype)
+                                            remat=cfg.remat, accum=cfg.accum,
+                                            batch_axis_name=batch_axis)
+    eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype,
+                                     batch_axis_name=batch_axis)
     sample_fn = make_spatial_sample_fn(model, mesh, axis, cfg.num_samples, dtype)
     crps_sample_fn = None
     if cfg.eval_crps:
@@ -315,7 +344,8 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
                 tuple(jnp.asarray(s) for s in stats), cfg.standardization,
                 jnp.asarray(idx))
         pair = pair_fn(hr, sl)
-        return put_spatial(pair["inputs"], mesh, axis), put_spatial(pair["targets"], mesh, axis)
+        return (put_spatial(pair["inputs"], mesh, axis, batch_axis),
+                put_spatial(pair["targets"], mesh, axis, batch_axis))
 
     stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
                                               cfg.standardization)
@@ -379,9 +409,10 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
 
 
 def make_spatial_eval_elbo(model, mesh, axis_name: str = "space",
-                           compute_dtype=jnp.float32):
+                           compute_dtype=jnp.float32,
+                           batch_axis_name: Optional[str] = None):
     """Deterministic-given-rng sharded ELBO (dropout off) for eval/validation
-    at tile sizes beyond one chip."""
+    at tile sizes beyond one chip. ``batch_axis_name``: 2D data x spatial."""
     arch = dict(
         img_resolution=tuple(model.img_resolution),
         num_filters=tuple(model.num_filters),
@@ -390,17 +421,19 @@ def make_spatial_eval_elbo(model, mesh, axis_name: str = "space",
         num_blocks=model.num_blocks,
         attn_resolutions=tuple(model.attn_resolutions),
     )
+    xy_spec = P(batch_axis_name, axis_name)
 
     def fn(params, x, y, rng, beta):
         def body(params, xl, yl, rng, beta):
             return spatial_probunet_elbo(
                 params, xl.astype(compute_dtype), yl.astype(compute_dtype),
-                axis_name=axis_name, beta=beta, rng=rng, **arch)
+                axis_name=axis_name, beta=beta, rng=rng,
+                batch_axis_name=batch_axis_name, **arch)
 
         # unchecked: body reaches fused_attention (Pallas) via spatial_unet
         sm = shard_map_unchecked(
             body, mesh=mesh,
-            in_specs=(P(), P(None, axis_name), P(None, axis_name), P(), P()),
+            in_specs=(P(), xy_spec, xy_spec, P(), P()),
             out_specs=(P(), P(), P()))
         total, recon, kl = sm(params, x, y, rng, beta)
         return {"val_loss": total, "val_recon_loss": recon, "val_kl_div": kl}

@@ -253,20 +253,35 @@ def spatial_probunet_elbo(
     dropout: float = 0.0,
     dropout_rng: jax.Array | None = None,
     remat: bool = False,
+    batch_axis_name: str | None = None,
 ):
     """H-sharded ELBO (prob_unet.py:198-234 math) — the training loss body.
 
     ``x``/``y`` are local (B, H_loc, W, C) shards inside a ``shard_map`` over
-    ``axis_name``. The posterior draw ``z`` is replicated (mu/log_sigma come
-    out of psum'd global pools, and ``rng`` is the same on every device);
-    ``recon`` is the psum of local sum-squared errors, so all three returned
-    scalars are device-invariant — safe for ``out_specs=P()`` and for taking
-    ``jax.grad`` OUTSIDE the shard_map (the replicated-input transpose psums
-    the per-device param cotangents). Supply an explicit ``z`` for parity
-    tests (mirrors ``ProbabilisticUNet.elbo_with_z``).
+    ``axis_name``. The posterior draw ``z`` is replicated over the SPACE axis
+    (mu/log_sigma come out of psum'd global pools, and ``rng`` is the same on
+    every device); ``recon`` is the psum of local sum-squared errors, so all
+    three returned scalars are device-invariant — safe for ``out_specs=P()``
+    and for taking ``jax.grad`` OUTSIDE the shard_map (the replicated-input
+    transpose psums the per-device param cotangents). Supply an explicit ``z``
+    for parity tests (mirrors ``ProbabilisticUNet.elbo_with_z``).
+
+    2D (data x spatial) composition: with ``batch_axis_name`` set, the batch
+    axis of x/y is ALSO sharded (each device holds a (B_loc, H_loc, W, C)
+    tile of the global batch). Every per-sample computation is unchanged —
+    conv halos/GroupNorm/global pools only ever reduce over space — so the
+    only deltas are (a) the sum-reduction scalars additionally psum over the
+    batch axis, and (b) the latent/dropout rngs fold in the batch-shard index
+    so different global samples draw independent noise.
     """
     from probunet_tpu.ops.distributions import DiagGaussian, kl_diag_gaussian
 
+    if batch_axis_name is not None:
+        bi = jax.lax.axis_index(batch_axis_name)
+        if rng is not None:
+            rng = jax.random.fold_in(rng, bi)
+        if dropout_rng is not None:
+            dropout_rng = jax.random.fold_in(dropout_rng, bi)
     feats = spatial_unet_forward(
         params["unet"], x, img_resolution, x.shape[-1], axis_name,
         model_channels=model_channels, channel_mult=channel_mult,
@@ -278,11 +293,14 @@ def spatial_probunet_elbo(
     prior = DiagGaussian(pr_mu, pr_ls)
     posterior = DiagGaussian(po_mu, po_ls)
     if z is None:
-        z = posterior.rsample(rng)          # same rng everywhere -> replicated z
+        z = posterior.rsample(rng)          # same rng across space -> replicated z
     out = spatial_fcomb(params["fcomb"], feats, z)
     diff = out.astype(jnp.float32) - y.astype(jnp.float32)
-    recon = jax.lax.psum(jnp.sum(jnp.square(diff)), axis_name)
+    axes = (axis_name,) if batch_axis_name is None else (axis_name, batch_axis_name)
+    recon = jax.lax.psum(jnp.sum(jnp.square(diff)), axes)
     kl = kl_diag_gaussian(posterior, prior).sum()
+    if batch_axis_name is not None:
+        kl = jax.lax.psum(kl, batch_axis_name)
     total = recon + beta * kl
     return total, recon, kl
 

@@ -112,9 +112,10 @@ def abstract_probunet_state(cfg: Config, model, tx):
 def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                    make_plots: bool = True) -> Dict:
     """The reference ``main.py`` pipeline, TPU-native."""
-    if cfg.parallel_mode == "spatial":
-        # H-axis model parallelism for tiles beyond one chip's HBM: the whole
-        # ELBO runs inside a shard_map (halo convs, psum GN, sharded dropout).
+    if cfg.parallel_mode in ("spatial", "2d"):
+        # H-axis model parallelism for tiles beyond one chip's HBM ("2d" adds
+        # data parallelism on a (data, space) mesh): the whole ELBO runs
+        # inside a shard_map (halo convs, psum GN, sharded dropout).
         from probunet_tpu.parallel.spatial_train import train_probunet_spatial
         return train_probunet_spatial(cfg, datasets, make_plots=make_plots)
     from probunet_tpu.parallel.multihost import make_plan

@@ -196,3 +196,91 @@ class TestSpatialTrainStep:
         m1 = ev(params, x, y, jax.random.key(7), jnp.float32(1.0))
         m2 = ev(params, x, y, jax.random.key(7), jnp.float32(1.0))
         assert float(m1["val_loss"]) == float(m2["val_loss"])
+
+
+class TestSpatial2D:
+    """2D (data x spatial) composition: batch sharded over 'data', H over
+    'space', scalars psum'd over both — loss/grads must equal the unsharded
+    model and the driver must run end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        return make_mesh((2, -1), ("data", "space"))
+
+    def test_2d_loss_and_grads_match_unsharded(self, mesh2d, model_and_params):
+        m, params = model_and_params
+        x, y = _data(3, b=4)
+        z = jnp.asarray(np.random.default_rng(5).standard_normal((4, 4)), jnp.float32)
+        beta = jnp.float32(0.7)
+
+        def ref_loss(p):
+            total, recon, kl = m.apply({"params": p}, x, y, z, beta,
+                                       method=m.elbo_with_z)
+            return total, (recon, kl)
+
+        (ref_total, (ref_recon, ref_kl)), ref_grads = (
+            jax.value_and_grad(ref_loss, has_aux=True)(params))
+
+        xy_spec = P("data", "space")
+
+        def sharded_loss(p):
+            def body(p, xl, yl, zl):
+                return spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
+                                             beta=beta, z=zl,
+                                             batch_axis_name="data", **ARCH)
+            fn = shard_map(body, mesh=mesh2d,
+                           in_specs=(P(), xy_spec, xy_spec, P("data")),
+                           out_specs=(P(), P(), P()))
+            total, recon, kl = fn(p, x, y, z)
+            return total, (recon, kl)
+
+        (sh_total, (sh_recon, sh_kl)), sh_grads = jax.jit(
+            jax.value_and_grad(sharded_loss, has_aux=True))(params)
+
+        np.testing.assert_allclose(float(sh_total), float(ref_total), rtol=1e-4)
+        np.testing.assert_allclose(float(sh_recon), float(ref_recon), rtol=1e-4)
+        np.testing.assert_allclose(float(sh_kl), float(ref_kl), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(sh_grads)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_2d_step_runs_and_optimizes(self, mesh2d, model_and_params):
+        m, params = model_and_params
+        tx = make_optimizer(lr=1e-3)
+        state = jax.device_put(create_train_state(params, tx),
+                               jax.sharding.NamedSharding(mesh2d, P()))
+        x, y = _data(7, b=4)
+        x = put_spatial(x, mesh2d, "space", "data")
+        y = put_spatial(y, mesh2d, "space", "data")
+        step = make_spatial_probunet_train_step(m, tx, mesh2d, "space",
+                                                donate=False, remat=False,
+                                                batch_axis_name="data")
+        rng = jax.random.key(11)
+        first = None
+        for _ in range(20):
+            state, metrics = step(state, x, y, rng)
+            if first is None:
+                first = float(metrics["train_loss"])
+        last = float(metrics["train_loss"])
+        assert np.isfinite(last) and last < first, (first, last)
+
+    def test_parallel_mode_2d_e2e(self, tmp_path):
+        import os
+
+        from probunet_tpu.config import Config
+        from probunet_tpu.data.dataset import ClimexDataset
+        from probunet_tpu.train.loop import train_probunet
+
+        rng = np.random.default_rng(0)
+        def mkds(t):
+            hr = rng.standard_normal((t, 32, 32, 3)).astype(np.float32) + 2.0
+            return ClimexDataset(hr=hr, standardization="perpixel", lowres_scale=4)
+        datasets = {"train": mkds(8), "val": mkds(4), "test": mkds(4)}
+        cfg = Config(resolution=(32, 32), latent_dim=4, num_filters=(16, 32),
+                     model_channels=32, channel_mult=(1, 2), num_blocks=1,
+                     attn_resolutions=(16,), dropout=0.1, batch_size=4,
+                     num_epochs=1, parallel_mode="2d", mesh_shape=(2, -1),
+                     plotdir=os.path.join(str(tmp_path), "plots"),
+                     checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
+        res = train_probunet(cfg, datasets=datasets, make_plots=False)
+        assert np.isfinite(res["tr_losses"]).all() and np.isfinite(res["val_losses"]).all()
