@@ -10,6 +10,7 @@ from probunet_tpu.train.steps import (  # noqa: F401
     make_edm_train_step,
     make_edm_eval_step,
     make_edm_sample_fn,
+    make_edm_crps_eval_fn,
     edm_sample,
     beta_schedule,
 )

@@ -407,8 +407,8 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     Heun-sampled ensembles for the every-2-epochs plots (same contract as the
     prob-U-Net loop), checkpoints. Completes the 'make the dead code live'
     story for the reference's unused EDMPrecond."""
-    from probunet_tpu.train import (make_edm_eval_step, make_edm_sample_fn,
-                                    make_edm_train_step)
+    from probunet_tpu.train import (make_edm_crps_eval_fn, make_edm_eval_step,
+                                    make_edm_sample_fn, make_edm_train_step)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
@@ -432,6 +432,13 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
                                    cfg.num_samples, cfg.edm_steps,
                                    compute_dtype=dtype)
+    crps_fn = None
+    if cfg.eval_crps:
+        # built once (fresh jit per epoch = recompile; loop.py:146 rule)
+        crps_fn = make_edm_crps_eval_fn(model, cfg.lowres_scale,
+                                        cfg.standardization, cfg.variables,
+                                        cfg.crps_samples, cfg.edm_steps,
+                                        compute_dtype=dtype)
 
     nd = mesh.devices.size
     def put_data(a):
@@ -481,6 +488,18 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
         val_losses.append(float(jnp.mean(jnp.stack(vloss))))
         logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
                     "val_loss": val_losses[-1]}, step=step_count)
+
+        # ---- optional Heun-ensemble CRPS (same metric surface as probunet) ----
+        if crps_fn is not None:
+            acc = {}
+            for bi in range(min(vbatches.shape[0], 16)):
+                idx = put_idx(jnp.asarray(vbatches[bi]))
+                m = crps_fn(state.params, hr_val, stats_val, idx,
+                            jax.random.fold_in(eval_rng, 10_000 + bi))
+                for k, v in m.items():
+                    acc.setdefault(k, []).append(float(v))
+            logger.log({k: float(np.mean(v)) for k, v in acc.items()},
+                       step=step_count)
 
         if make_plots and epoch % 2 == 0:
             # make_edm_sample_fn shares make_sample_fn's surface, so the

@@ -191,6 +191,24 @@ def make_sample_fn(model, lowres_scale: int, standardization: str, num_samples: 
     return jax.jit(fn, static_argnames=())
 
 
+def _ensemble_crps_metrics(hr_preds, hr, variables):
+    """Shared CRPS tail: (B, K, H, W, C) physical ensemble + (B, H, W, C)
+    truth -> per-variable mean CRPS (mm/day / deg C) + ensemble-mean MAE."""
+    from probunet_tpu.ops.crps import crps_empirical
+
+    def to_physical(field, var):
+        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
+
+    ens = jnp.swapaxes(hr_preds, 0, 1)                            # (K, B, H, W, C)
+    out = {}
+    for i, var in enumerate(variables):
+        p = to_physical(ens[..., i], var)
+        t = to_physical(hr[..., i], var)
+        out[f"crps_{var}"] = crps_empirical(p, t).mean()
+        out[f"ensmean_mae_{var}"] = jnp.abs(p.mean(axis=0) - t).mean()
+    return out
+
+
 def make_crps_eval_fn(model, lowres_scale: int, standardization: str,
                       variables: Tuple[str, ...], num_samples: int = 16,
                       compute_dtype=jnp.float32):
@@ -198,10 +216,6 @@ def make_crps_eval_fn(model, lowres_scale: int, standardization: str,
     reference defines but never wires in, trainmodel.py:66-117): K vmapped
     prior draws -> residual->HR inverse -> per-variable mean CRPS (mm/day /
     deg C) plus the ensemble-mean MAE."""
-    from probunet_tpu.ops.crps import crps_empirical
-
-    def to_physical(field, var):
-        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
 
     def fn(params, hr_all, stats, idx, rng):
         hr = hr_all[idx]
@@ -217,14 +231,25 @@ def make_crps_eval_fn(model, lowres_scale: int, standardization: str,
             sl_k = sl
         hr_preds = transforms.residual_to_hr(
             preds, pair["lrinterp"][:, None], standardization, sl_k)  # (B, K, H, W, C)
-        ens = jnp.swapaxes(hr_preds, 0, 1)                            # (K, B, H, W, C)
-        out = {}
-        for i, var in enumerate(variables):
-            p = to_physical(ens[..., i], var)
-            t = to_physical(hr[..., i], var)
-            out[f"crps_{var}"] = crps_empirical(p, t).mean()
-            out[f"ensmean_mae_{var}"] = jnp.abs(p.mean(axis=0) - t).mean()
-        return out
+        return _ensemble_crps_metrics(hr_preds, hr, variables)
+
+    return jax.jit(fn)
+
+
+def make_edm_crps_eval_fn(model, lowres_scale: int, standardization: str,
+                          variables: Tuple[str, ...], num_samples: int = 16,
+                          num_steps: int = 18, compute_dtype=jnp.float32):
+    """Ensemble CRPS for the EDM diffusion downscaler: K Heun chains (folded
+    into the batch axis) -> physical HR ensemble -> the same per-variable
+    CRPS/ensemble-mean-MAE surface as make_crps_eval_fn, so both probabilistic
+    models report identical metrics."""
+    sample_fn = make_edm_sample_fn(model, lowres_scale, standardization,
+                                   num_samples, num_steps,
+                                   compute_dtype=compute_dtype)
+
+    def fn(params, hr_all, stats, idx, rng):
+        hr_preds, pair = sample_fn(params, hr_all, stats, idx, rng)
+        return _ensemble_crps_metrics(hr_preds, pair["hr"], variables)
 
     return jax.jit(fn)
 

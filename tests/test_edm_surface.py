@@ -33,6 +33,7 @@ def _cfg(datadir, tmp_path, **kw):
         standardization="pertimestep", ds_model="edm",
         model_channels=8, channel_mult=(1, 2), num_blocks=1,
         attn_resolutions=(8,), num_samples=2, edm_steps=4,
+        eval_crps=True, crps_samples=2,
         plotdir=os.path.join(str(tmp_path), "plots"),
         checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
     base.update(kw)
@@ -59,6 +60,13 @@ def test_train_edm_e2e_and_downscale(datadir, tmp_path):
     assert os.path.exists(mpath)
     recs = [json.loads(l) for l in open(mpath)]
     assert any("val_loss" in r for r in recs)
+    # CRPS metric surface matches the probunet loop's
+    crps = [r for r in recs if any(k.startswith("crps_") for k in r)]
+    assert len(crps) == 2, "one Heun-ensemble CRPS record per epoch"
+    for r in crps:
+        for var in cfg.variables:
+            assert np.isfinite(r[f"crps_{var}"])
+            assert np.isfinite(r[f"ensmean_mae_{var}"])
     ckpt = os.path.join(cfg.checkpoints_dir, "edm")
     assert os.path.isdir(ckpt)
 
