@@ -25,7 +25,37 @@ from probunet_tpu.data import transforms
 from probunet_tpu.ops.resample import avg_pool
 
 
-class DevicePrefetcher:
+class ThreadPrefetcher:
+    """Drain any item-producing iterator in a background thread through a
+    bounded queue, so producing item k+1 (host slicing, device_put, global-
+    array assembly) overlaps the consumer's compute on item k. Items pass
+    through ``transform`` (if given) inside the worker thread."""
+
+    def __init__(self, it: Iterator, buffer_size: int = 2, transform=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+        self._transform = transform
+        self._thread = threading.Thread(target=self._worker, args=(it,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, it):
+        try:
+            for item in it:
+                self._q.put(self._transform(item) if self._transform else item)
+        except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+class DevicePrefetcher(ThreadPrefetcher):
     """Wrap a host iterator; keep ``buffer_size`` items device-put ahead.
 
     ``sharding`` is either one sharding applied to every leaf, or a dict
@@ -34,10 +64,8 @@ class DevicePrefetcher:
     mesh layout the step compiled against, with no in-step reshard."""
 
     def __init__(self, host_iter: Iterator, buffer_size: int = 2, sharding=None):
-        self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
         self._sharding = sharding
-        self._thread = threading.Thread(target=self._worker, args=(host_iter,), daemon=True)
-        self._thread.start()
+        super().__init__(host_iter, buffer_size, transform=self._put_item)
 
     def _put_item(self, item):
         if isinstance(self._sharding, dict) and isinstance(item, dict):
@@ -51,23 +79,6 @@ class DevicePrefetcher:
         put = (lambda a: jax.device_put(a, self._sharding)) if self._sharding is not None \
             else jax.device_put
         return jax.tree.map(put, item)
-
-    def _worker(self, host_iter):
-        try:
-            for item in host_iter:
-                self._q.put(self._put_item(item))
-        except Exception as e:  # surface worker errors to the consumer
-            self._q.put(e)
-        self._q.put(None)
-
-    def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
 
 
 def stream_batches(
@@ -95,6 +106,11 @@ def stream_batches(
     directly instead of being resharded inside the XLA program.
     """
     if sharding is not None:
+        if replicated_sharding is None and hasattr(sharding, "mesh"):
+            # derive it: global (perpixel) stats must be REPLICATED on the
+            # same mesh, never left on the default device next to a sharded hr
+            from jax.sharding import NamedSharding, PartitionSpec
+            replicated_sharding = NamedSharding(sharding.mesh, PartitionSpec())
         stats_sh = (sharding if standardization in ("pertimestep", "minmax")
                     else replicated_sharding)
         sharding = {"hr": sharding, "timestamps": sharding, "stats": stats_sh}

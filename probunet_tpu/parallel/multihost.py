@@ -63,10 +63,19 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         return False
     nproc = os.environ.get("PROBUNET_NUM_PROCESSES")
     if nproc is not None:
+        pid = os.environ.get("PROBUNET_PROCESS_ID")
+        missing = [n for n, v in (("COORDINATOR_ADDRESS", coord),
+                                  ("PROBUNET_PROCESS_ID", pid)) if not v]
+        if missing:
+            raise ValueError(
+                "PROBUNET_NUM_PROCESSES is set but " + "/".join(missing) +
+                " is not; explicit-args multi-host launch needs "
+                "COORDINATOR_ADDRESS, PROBUNET_NUM_PROCESSES and "
+                "PROBUNET_PROCESS_ID")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(nproc),
-            process_id=int(os.environ["PROBUNET_PROCESS_ID"]))
+            process_id=int(pid))
     else:
         jax.distributed.initialize()
     _initialized = True
@@ -301,11 +310,9 @@ class MultihostPlan:
                 f"{mesh.devices.size}-device mesh for multi-process batch sharding")
         # GLOBAL train-split standardization stats (host numpy)
         self.stats_np = self.split_stats(ds_train, merged=True)
-        self._stats_repl = None
-        if self.stats_np is not None and cfg.standardization == "perpixel":
-            self._stats_repl = tuple(
-                make_global_batch(np.asarray(s, np.float32), self.replicated)
-                for s in self.stats_np)
+        # device-replicated global-stats tuples, cached per stats object so
+        # val/test stats upload once instead of once per eval/CRPS batch
+        self._repl_cache = {}
         # cached batch-sharded global arange (per-step gather indices)
         b = cfg.batch_size
         rows = local_batch_slice(b, self.pi, self.pc)
@@ -365,18 +372,36 @@ class MultihostPlan:
             item["stats"] = tuple(
                 make_global_batch(np.ascontiguousarray(s[lids]), self.batch_sharding)
                 for s in stats_np)
-        elif stats_np is self.stats_np and self._stats_repl is not None:
-            item["stats"] = self._stats_repl
         else:
-            item["stats"] = tuple(
-                make_global_batch(np.asarray(s, np.float32), self.replicated)
-                for s in stats_np)
+            key = id(stats_np)
+            if key not in self._repl_cache:
+                self._repl_cache[key] = tuple(
+                    make_global_batch(np.asarray(s, np.float32), self.replicated)
+                    for s in stats_np)
+            item["stats"] = self._repl_cache[key]
         if timestamps_np is not None:
             item["timestamps"] = make_global_batch(
                 np.ascontiguousarray(timestamps_np[lids]), self.batch_sharding)
         item["idx"] = self._arange if b == self.cfg.batch_size else \
             make_global_batch(np.arange(b, dtype=np.int32)[rows], self.batch_sharding)
         return item
+
+    def batch_iter(self, hr_np: np.ndarray, batches: np.ndarray, stats_np=None,
+                   timestamps_np: Optional[np.ndarray] = None,
+                   replicated_source: bool = False, buffer_size: int = 2):
+        """Background-thread assembly of the epoch's global batches: item
+        k+1's host slicing + global-array assembly overlaps the device
+        compute of item k (the plan-mode counterpart of the streaming path's
+        DevicePrefetcher double buffering)."""
+        from probunet_tpu.data.pipeline import ThreadPrefetcher
+
+        def gen():
+            for bi in range(batches.shape[0]):
+                yield self.device_batch(hr_np, batches[bi], stats_np,
+                                        timestamps_np=timestamps_np,
+                                        replicated_source=replicated_source)
+
+        return iter(ThreadPrefetcher(gen(), buffer_size=buffer_size))
 
     def put_state(self, state):
         """Replicate a locally-initialized train state as a global array tree
@@ -397,6 +422,22 @@ def make_plan(cfg, ds_train, mesh) -> Optional[MultihostPlan]:
     if pc > 1 or int(cfg.data_shards) > 1:
         return MultihostPlan(cfg, ds_train, mesh)
     return None
+
+
+def require_single_process(what: str, cfg=None) -> None:
+    """Fail FAST (before any expensive init) for drivers that have no
+    multi-process path yet — running them under jax.distributed would either
+    crash placing locally-committed arrays into a global mesh, or silently
+    train on per-host-local standardization statistics."""
+    _, pc = process_info()
+    if pc > 1:
+        raise NotImplementedError(
+            f"{what} has no multi-process (jax.distributed) support yet; "
+            "run it single-process, or use the data-parallel prob-U-Net / "
+            "baseline loops which are multi-host capable")
+    if cfg is not None and int(getattr(cfg, "data_shards", 0)) > 1:
+        raise ValueError(f"--data_shards applies to the multi-host batch plan, "
+                         f"which {what} does not use")
 
 
 def shard_sizes_for(n_samples: int, years: Sequence[int], num_shards: int):

@@ -234,15 +234,11 @@ def _plot_spatial_samples(cfg, sample_fn, params, ds_test, stats_test_np,
 def _spatial_crps_metrics(cfg, sample_fn, params, ds_val, stats_val_np, mesh,
                           axis, eval_rng, max_batches: int = 16):
     """Ensemble CRPS + ensemble-mean MAE in physical units on the val split —
-    same metric surface as train.steps.make_crps_eval_fn, decoded through the
-    H-sharded ensemble tail."""
+    the SAME metric tail as the DP loop (train.steps._ensemble_crps_metrics),
+    decoded through the H-sharded ensemble."""
     import numpy as np
 
-    from probunet_tpu.data.units import k_to_c, kgm2s_to_mmday
-    from probunet_tpu.ops.crps import crps_empirical
-
-    def to_physical(field, var):
-        return kgm2s_to_mmday(field) if var == "pr" else k_to_c(field)
+    from probunet_tpu.train.steps import _ensemble_crps_metrics
 
     acc = {}
     vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
@@ -251,15 +247,9 @@ def _spatial_crps_metrics(cfg, sample_fn, params, ds_val, stats_val_np, mesh,
         pair, hr_preds = _spatial_ensemble_physical(
             cfg, sample_fn, params, ds_val, idx, stats_val_np, mesh, axis,
             jax.random.fold_in(eval_rng, 10_000 + bi))
-        ens = jnp.swapaxes(hr_preds, 0, 1)           # (K, B, H, W, C)
-        hr = pair["hr"]
-        for i, var in enumerate(cfg.variables):
-            p = to_physical(ens[..., i], var)
-            t = to_physical(hr[..., i], var)
-            acc.setdefault(f"crps_{var}", []).append(
-                float(crps_empirical(p, t).mean()))
-            acc.setdefault(f"ensmean_mae_{var}", []).append(
-                float(jnp.abs(p.mean(axis=0) - t).mean()))
+        for k, v in _ensemble_crps_metrics(hr_preds, pair["hr"],
+                                           cfg.variables).items():
+            acc.setdefault(k, []).append(float(v))
     return {k: float(np.mean(v)) for k, v in acc.items()}
 
 
@@ -290,10 +280,22 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     from probunet_tpu.train.steps import beta_schedule
     from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
 
+    from probunet_tpu.parallel.multihost import require_single_process
+
+    require_single_process(f"the spatial driver (parallel_mode={cfg.parallel_mode})",
+                           cfg)
     axis = "space"
     two_d = cfg.parallel_mode == "2d"
     if two_d:
+        import jax as _jax
         shape = tuple(cfg.mesh_shape) if len(cfg.mesh_shape) == 2 else (2, -1)
+        nd = len(_jax.devices())
+        fixed = [s for s in shape if s != -1]
+        if nd < 2 or (fixed and nd % int(np.prod(fixed))):
+            raise ValueError(
+                f"parallel_mode=2d needs a 2D-factorable device count; have "
+                f"{nd} devices for mesh_shape {shape} — pass --mesh_shape dp,-1 "
+                f"with dp dividing the device count")
         mesh = make_mesh(shape, ("data", axis))
         batch_axis = "data"
         dp = mesh.shape["data"]

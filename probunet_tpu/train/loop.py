@@ -204,11 +204,12 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         timer.reset()
         if plan is not None:
             # Lockstep multi-process epoch: every process computes the same
-            # global batch plan and contributes its local rows of each batch.
+            # global batch plan and contributes its local rows of each batch;
+            # assembly runs in a background thread (double-buffered).
             batches = plan.epoch_batches(cfg.seed + epoch)
-            for bi in progress(range(batches.shape[0]),
-                               desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
-                item = plan.device_batch(ds_train.hr_np, batches[bi], plan.stats_np)
+            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
+            for item in progress(it, desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}",
+                                 total=batches.shape[0]):
                 state, metrics = train_step(state, item["hr"], item["stats"],
                                             item["idx"], rng)
                 step_count += 1
@@ -407,9 +408,11 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     Heun-sampled ensembles for the every-2-epochs plots (same contract as the
     prob-U-Net loop), checkpoints. Completes the 'make the dead code live'
     story for the reference's unused EDMPrecond."""
+    from probunet_tpu.parallel.multihost import require_single_process
     from probunet_tpu.train import (make_edm_crps_eval_fn, make_edm_eval_step,
                                     make_edm_sample_fn, make_edm_train_step)
 
+    require_single_process("the EDM driver (ds_model=edm)", cfg)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
@@ -616,9 +619,9 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
         if plan is not None:
             batches = plan.epoch_batches(cfg.seed + epoch)
-            for bi in progress(range(batches.shape[0]), desc=desc):
-                item = plan.device_batch(ds_train.hr_np, batches[bi], plan.stats_np,
-                                         timestamps_np=ds_train.timestamps_np)
+            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np,
+                                 timestamps_np=ds_train.timestamps_np)
+            for item in progress(it, desc=desc, total=batches.shape[0]):
                 state, metrics = train_step(state, item["hr"], item["stats"],
                                             item["idx"], item["timestamps"], rng)
                 step_count += 1

@@ -330,14 +330,22 @@ def _edm_heun_chain(model, params, x_cond, rng, num_steps: int,
     return jax.lax.fori_loop(0, num_steps, body, x)
 
 
+@functools.lru_cache(maxsize=16)
+def _edm_sample_jitted(model, num_steps, sigma_min, sigma_max, rho):
+    # cached per (model, schedule): a fresh jax.jit(partial(...)) per call
+    # would re-trace every time (jit caching is keyed on function identity)
+    return jax.jit(functools.partial(_edm_heun_chain, model, num_steps=num_steps,
+                                     sigma_min=sigma_min, sigma_max=sigma_max,
+                                     rho=rho))
+
+
 def edm_sample(model, params, x_cond, rng, num_steps: int = 18,
                sigma_min: float = 0.002, sigma_max: float = 80.0, rho: float = 7.0):
     """One EDM (Heun) residual draw per input, (B, H, W, C) — JITTED (one XLA
     program per (shape, num_steps); the loop runs on device, not 2x num_steps
     host dispatches)."""
-    fn = jax.jit(functools.partial(_edm_heun_chain, model, num_steps=num_steps,
-                                   sigma_min=sigma_min, sigma_max=sigma_max, rho=rho))
-    return fn(params, x_cond, rng)
+    return _edm_sample_jitted(model, num_steps, sigma_min, sigma_max, rho)(
+        params, x_cond, rng)
 
 
 def make_edm_eval_step(model, lowres_scale: int, standardization: str,
