@@ -93,6 +93,14 @@ class Config:
     eval_crps: bool = False         # ensemble CRPS eval in physical units after each epoch
     crps_samples: int = 16          # ensemble size for CRPS (BASELINE config #3)
     resume: str = ""                # checkpoint directory to resume from
+    # Step-granular checkpointing for long production runs (prob-U-Net loop):
+    # save every N micro-steps (0 = epoch-end only). Resume is EXACT: the
+    # loop derives (epoch, intra-epoch offset) from the restored step counter
+    # and continues with the identical batch/noise sequence, so an
+    # interrupted run converges to the same state as an uninterrupted one
+    # (tests/test_round3_fixes.py::TestExactResume).
+    checkpoint_every: int = 0
+    max_steps: int = 0              # stop after N global micro-steps (0 = unlimited)
 
     def __post_init__(self) -> None:
         if self.ds_model not in ("deterministic_unet", "probabilistic_unet",

@@ -92,6 +92,7 @@ def stream_batches(
     sharding=None,
     timestamps_np: Optional[np.ndarray] = None,
     replicated_sharding=None,
+    start_batch: int = 0,
 ) -> Iterator[Dict]:
     """Yield device-resident {hr, stats[, timestamps]} batches, double-buffered.
 
@@ -120,7 +121,9 @@ def stream_batches(
     nb = n // batch_size
 
     def host_iter():
-        for b in range(nb):
+        # start_batch: resume an interrupted epoch mid-way (identical order —
+        # the permutation is a pure function of epoch_seed)
+        for b in range(start_batch, nb):
             idx = order[b * batch_size:(b + 1) * batch_size]
             item = {"hr": hr_np[idx]}
             if stats_np is not None and standardization in ("pertimestep", "minmax"):

@@ -335,6 +335,11 @@ class MultihostPlan:
         return compute_lr_stats_streaming(ds.hr_np, self.cfg.lowres_scale, std)
 
     # ---- epoch plans ----
+    @property
+    def steps_per_epoch(self) -> int:
+        per = self.cfg.batch_size // self.num_shards
+        return min(s // per for s in self.shard_sizes)
+
     def epoch_batches(self, epoch_seed: int, shuffle: bool = True) -> np.ndarray:
         """(nb, batch_size) GLOBAL train sample ids, identical on every
         process; rows grouped per shard."""

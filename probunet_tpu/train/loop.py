@@ -131,10 +131,12 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
                         state_dtype=cfg.opt_state_dtype)
     state = init_probunet_state(cfg, model, tx)
+    resume_step = 0
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
-        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+        resume_step = int(state.step)
+        print(f"resumed from {cfg.resume} at step {resume_step}")
     state = plan.put_state(state) if plan else put_replicated(state, mesh)
 
     dtype = _compute_dtype(cfg)
@@ -194,67 +196,90 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
 
+    # Steps per epoch is constant across epochs (drop_remainder everywhere),
+    # which makes exact mid-epoch resume a pure function of the restored step
+    # counter: epoch = step // nb + 1, intra-epoch offset = step % nb — the
+    # batch permutations are functions of (seed, epoch) and the step's noise
+    # comes from fold_in(rng, state.step), so the continuation replays the
+    # exact sequence an uninterrupted run would have taken.
+    nb_epoch = (plan.steps_per_epoch if plan is not None
+                else len(ds_train) // cfg.batch_size)
+    ckpt_dir = os.path.join(cfg.checkpoints_dir, "probunet")
+
     tr_losses, val_losses = [], []
-    step_count = 0
+    global_step = resume_step
+    stopped = False
     for epoch in range(1, cfg.num_epochs + 1):
+        if global_step >= epoch * nb_epoch:
+            continue  # epoch fully covered by the resumed checkpoint
+        offset = global_step - (epoch - 1) * nb_epoch
+        desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
+
         # ---- train: one fused XLA program per step, dispatched async (the
         # scanned-epoch variant exists but carrying 1.2 GB of opt state through
         # lax.scan costs more than per-step dispatch on this runtime) ----
         running = []
         timer.reset()
+
+        def after_step(metrics):
+            """Shared per-step bookkeeping: logging, periodic checkpoints,
+            max_steps stop. Returns True when the run must stop."""
+            nonlocal global_step
+            global_step += 1
+            timer.tick(cfg.batch_size)
+            running.append(metrics["train_loss"])
+            if global_step % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["samples_per_sec"] = timer.rate()
+                logger.log(m, step=global_step)
+            if cfg.checkpoint_every and global_step % cfg.checkpoint_every == 0:
+                save_checkpoint(ckpt_dir, jax.device_get(state))
+            return bool(cfg.max_steps) and global_step >= cfg.max_steps
+
         if plan is not None:
             # Lockstep multi-process epoch: every process computes the same
             # global batch plan and contributes its local rows of each batch;
             # assembly runs in a background thread (double-buffered).
-            batches = plan.epoch_batches(cfg.seed + epoch)
+            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
             it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
-            for item in progress(it, desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}",
-                                 total=batches.shape[0]):
+            for item in progress(it, desc=desc, total=batches.shape[0]):
                 state, metrics = train_step(state, item["hr"], item["stats"],
                                             item["idx"], rng)
-                step_count += 1
-                timer.tick(cfg.batch_size)
-                running.append(metrics["train_loss"])
-                if step_count % cfg.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["samples_per_sec"] = timer.rate()
-                    logger.log(m, step=step_count)
+                if after_step(metrics):
+                    stopped = True
+                    break
         elif streaming:
             from probunet_tpu.data.pipeline import stream_batches
             from probunet_tpu.parallel import batch_sharding, replicated
-            nb = len(ds_train) // cfg.batch_size
             # batch sharding only when divisible (same rule as put_idx)
             bsh = (batch_sharding(mesh) if cfg.batch_size % nd == 0
                    else replicated(mesh))
             it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
                                 stats_train_np, cfg.standardization,
                                 sharding=bsh,
-                                replicated_sharding=replicated(mesh))
+                                replicated_sharding=replicated(mesh),
+                                start_batch=offset)
             arange = put_idx(jnp.arange(cfg.batch_size))
-            for item in progress(it, desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}", total=nb):
+            for item in progress(it, desc=desc, total=nb_epoch - offset):
                 state, metrics = train_step(state, item["hr"], item.get("stats"), arange, rng)
-                step_count += 1
-                timer.tick(cfg.batch_size)
-                running.append(metrics["train_loss"])
-                if step_count % cfg.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["samples_per_sec"] = timer.rate()
-                    logger.log(m, step=step_count)
+                if after_step(metrics):
+                    stopped = True
+                    break
         else:
             batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            nb = batches.shape[0]
-            for bi in progress(range(nb), desc=f"Train :: Epoch: {epoch}/{cfg.num_epochs}"):
+            for bi in progress(range(offset, batches.shape[0]), desc=desc):
                 idx = put_idx(jnp.asarray(batches[bi]))
                 state, metrics = train_step(state, hr_train, stats_train, idx, rng)
-                step_count += 1
-                timer.tick(cfg.batch_size)
-                running.append(metrics["train_loss"])
-                if step_count % cfg.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["samples_per_sec"] = timer.rate()
-                    logger.log(m, step=step_count)
-        epoch_tr = float(jnp.mean(jnp.stack(running)))
+                if after_step(metrics):
+                    stopped = True
+                    break
+        epoch_tr = float(jnp.mean(jnp.stack(running))) if running else float("nan")
         tr_losses.append(epoch_tr)
+        if stopped:
+            # max_steps interrupt: checkpoint the exact position and leave;
+            # the next --resume run continues with the identical sequence
+            save_checkpoint(ckpt_dir, jax.device_get(state))
+            break
 
         # ---- eval (stochastic, seeded; reference eval_probunet_model) ----
         vloss = []
@@ -276,7 +301,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         epoch_val = float(jnp.mean(jnp.stack(vloss)))
         val_losses.append(epoch_val)
         logger.log({"epoch": epoch, "epoch_train_loss": epoch_tr, "val_loss": epoch_val},
-                   step=step_count)
+                   step=global_step)
 
         # ---- optional ensemble CRPS in physical units (reference defines
         # crps_empirical but never wires it; BASELINE config #3) ----
@@ -295,7 +320,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
                 for k, v in m.items():
                     acc.setdefault(k, []).append(float(v))
             crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
-            logger.log(crps_metrics, step=step_count)
+            logger.log(crps_metrics, step=global_step)
 
         # ---- sample + plot every 2 epochs (reference main.py:125-134) ----
         if make_plots and epoch % 2 == 0:

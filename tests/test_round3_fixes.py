@@ -105,3 +105,84 @@ class TestHrDeviceReshard:
         np.testing.assert_array_equal(np.asarray(sharded), np.asarray(plain))
         # repeat call with the same sharding hits the cache (same object)
         assert ds.hr_device(sh) is sharded
+
+
+class TestExactResume:
+    """Step-granular checkpointing (--checkpoint_every / --max_steps) with
+    EXACT mid-epoch resume: an interrupted run continued from its checkpoint
+    must reach the identical final state as an uninterrupted run (batch order
+    is a function of (seed, epoch); per-step noise folds in state.step)."""
+
+    def _datasets(self):
+        rng = np.random.default_rng(0)
+        from probunet_tpu.data.dataset import ClimexDataset
+        def mkds(t, seed):
+            hr = (np.random.default_rng(seed).standard_normal((t, 16, 16, 3))
+                  .astype(np.float32) + 2.0)
+            return ClimexDataset(hr=hr, standardization="perpixel", lowres_scale=4)
+        return {"train": mkds(16, 1), "val": mkds(4, 2), "test": mkds(4, 3)}
+
+    def _cfg(self, tmp_path, tag, **kw):
+        import os
+        base = dict(resolution=(16, 16), lowres_scale=4, batch_size=4,
+                    num_epochs=1, latent_dim=4, num_filters=(8,),
+                    model_channels=8, channel_mult=(1, 2), num_blocks=1,
+                    attn_resolutions=(8,), dropout=0.1, log_every=1,
+                    plotdir=os.path.join(str(tmp_path), f"plots_{tag}"),
+                    checkpoints_dir=os.path.join(str(tmp_path), f"ckpt_{tag}"))
+        base.update(kw)
+        return Config(**base)
+
+    def test_interrupted_plus_resume_equals_uninterrupted(self, tmp_path):
+        import os
+        from probunet_tpu.train.loop import train_probunet
+
+        datasets = self._datasets()
+        # leg A: stop mid-epoch after 2 of 4 steps; checkpoint written at stop
+        cfg_a = self._cfg(tmp_path, "a", max_steps=2)
+        res_a = train_probunet(cfg_a, datasets=datasets, make_plots=False)
+        assert int(res_a["state"].step) == 2
+        ckpt = os.path.join(cfg_a.checkpoints_dir, "probunet")
+        assert os.path.isdir(ckpt)
+        # leg B: resume and finish the epoch (steps 3, 4 of the SAME plan)
+        cfg_b = self._cfg(tmp_path, "b", resume=ckpt)
+        res_b = train_probunet(cfg_b, datasets=datasets, make_plots=False)
+        assert int(res_b["state"].step) == 4
+        # leg C: uninterrupted single run
+        cfg_c = self._cfg(tmp_path, "c")
+        res_c = train_probunet(cfg_c, datasets=datasets, make_plots=False)
+        assert int(res_c["state"].step) == 4
+        for a, b in zip(jax.tree.leaves(res_b["state"].params),
+                        jax.tree.leaves(res_c["state"].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the resumed epoch's val loss equals the uninterrupted run's
+        np.testing.assert_allclose(res_b["val_losses"], res_c["val_losses"],
+                                   rtol=1e-6)
+
+    def test_checkpoint_every_periodic_saves(self, tmp_path, monkeypatch):
+        import probunet_tpu.train.loop as L
+
+        calls = []
+        orig = L.save_checkpoint
+        monkeypatch.setattr(L, "save_checkpoint",
+                            lambda d, s: calls.append(d) or orig(d, s))
+        cfg = self._cfg(tmp_path, "p", checkpoint_every=2)
+        L.train_probunet(cfg, datasets=self._datasets(), make_plots=False)
+        # 4 steps -> periodic saves at steps 2 and 4, plus the epoch-end save
+        assert len(calls) == 3, calls
+
+    def test_resumed_epochs_are_skipped(self, tmp_path):
+        import os
+        from probunet_tpu.train.loop import train_probunet
+
+        datasets = self._datasets()
+        cfg_a = self._cfg(tmp_path, "f1", num_epochs=1)
+        train_probunet(cfg_a, datasets=datasets, make_plots=False)
+        ckpt = os.path.join(cfg_a.checkpoints_dir, "probunet")
+        # resume a 2-epoch run from the completed epoch-1 checkpoint: only
+        # epoch 2 trains (4 more steps)
+        cfg_b = self._cfg(tmp_path, "f2", num_epochs=2, resume=ckpt)
+        res = train_probunet(cfg_b, datasets=datasets, make_plots=False)
+        assert int(res["state"].step) == 8
+        # epoch 1 was skipped entirely: one train-loss entry (epoch 2 only)
+        assert len(res["val_losses"]) == 1
