@@ -102,10 +102,17 @@ class TestLoopExtras:
         import json
         recs = [json.loads(l) for l in open(os.path.join(cfg.plotdir, "metrics.jsonl"))]
         assert any("crps_pr" in r for r in recs)
-        # resume continues the step counter
-        cfg2 = self._cfg(datadir, tmp_path, resume=os.path.join(cfg.checkpoints_dir, "probunet"))
+        # Exact-resume semantics (round 3): resuming a FINISHED run is a
+        # no-op (its epochs are already covered by the step counter)...
+        ckpt = os.path.join(cfg.checkpoints_dir, "probunet")
+        cfg2 = self._cfg(datadir, tmp_path, resume=ckpt)
         res2 = train_probunet(cfg2, make_plots=False)
-        assert int(res2["state"].step) == 2 * steps_done
+        assert int(res2["state"].step) == steps_done
+        # ...while extending num_epochs trains exactly the ADDITIONAL epoch
+        cfg3 = self._cfg(datadir, tmp_path, resume=ckpt,
+                         num_epochs=cfg.num_epochs + 1)
+        res3 = train_probunet(cfg3, make_plots=False)
+        assert int(res3["state"].step) == 2 * steps_done
 
 
 class TestShardedStreaming:
