@@ -92,6 +92,8 @@ class Config:
     eval_seed: int = 1234           # seeded stochastic eval (reference eval samples the posterior)
     eval_crps: bool = False         # ensemble CRPS eval in physical units after each epoch
     crps_samples: int = 16          # ensemble size for CRPS (BASELINE config #3)
+    crps_eval_batches: int = 0      # val batches for the CRPS eval (0 = the FULL split);
+                                    # the evaluated count is logged as crps_batches_evaluated
     resume: str = ""                # checkpoint directory to resume from
     # Step-granular checkpointing for long production runs (prob-U-Net loop):
     # save every N micro-steps (0 = epoch-end only). Resume is EXACT: the

@@ -59,9 +59,12 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         return jax.process_count() > 1
     coord = (os.environ.get("COORDINATOR_ADDRESS")
              or os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if not (force or coord or os.environ.get("PROBUNET_MULTIHOST")):
-        return False
     nproc = os.environ.get("PROBUNET_NUM_PROCESSES")
+    # nproc participates in activation so a misconfigured explicit-args launch
+    # (PROBUNET_NUM_PROCESSES set, coordinator missing) fails fast below
+    # instead of silently running single-process.
+    if not (force or coord or nproc or os.environ.get("PROBUNET_MULTIHOST")):
+        return False
     if nproc is not None:
         pid = os.environ.get("PROBUNET_PROCESS_ID")
         missing = [n for n, v in (("COORDINATOR_ADDRESS", coord),
@@ -138,26 +141,51 @@ def merge_moment_stats(parts):
     return mean.astype(np.float32), np.sqrt(np.maximum(var, 0.0)).astype(np.float32)
 
 
-def allreduce_sum(*arrays):
-    """Element-wise float64 sum of host arrays across processes through the
-    devices (the only transport multi-host JAX guarantees): each process
-    contributes one row of a process-sharded global array; a jitted sum
-    reduces it, replicated back to every process. Single-process: identity.
-    Arrays may have any shapes; they are packed into one payload."""
+def _allgather_f64_rows(row: np.ndarray) -> np.ndarray:
+    """Bit-exact all-gather of each process's float64 row vector.
+
+    The device transport is the only cross-process channel multi-host JAX
+    guarantees, but with ``jax_enable_x64`` unset a float64 device array is
+    silently canonicalized to float32 — which would destroy exactly the
+    precision the streaming-stats path exists to preserve
+    (data/pipeline.py::lr_moments_streaming: the ``s2 - n*mean²`` subtraction
+    on Kelvin-scale century sums cancels catastrophically in f32). So we
+    transport BITS, not values: the float64 payload is reinterpreted as
+    uint32 words, gathered replicated, and reinterpreted back to float64 on
+    the host. Returns the (process_count, k) float64 matrix of every
+    process's row; any reduction then happens on host in real float64."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    row = np.ascontiguousarray(np.asarray(row, np.float64).ravel())
+    words = row.view(np.uint32)[None]  # (1, 2k) word pairs — uint32 survives x64-off canonicalization
+    devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
+    mesh = Mesh(devs, ("proc", "dev"))
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("proc")), words)
+    full = np.asarray(jax.jit(lambda a: a + jnp.zeros((), a.dtype),
+                              out_shardings=NamedSharding(mesh, P()))(garr))
+    assert full.dtype == np.uint32, full.dtype
+    return np.ascontiguousarray(full).view(np.float64)
+
+
+def allreduce_sum(*arrays):
+    """Element-wise float64 sum of host arrays across processes. The device
+    transport carries the raw float64 bits (see :func:`_allgather_f64_rows`);
+    the sum itself runs on host in float64, in process order, so the result
+    is deterministic and numerically identical on every process.
+    Single-process: identity. Arrays may have any shapes; they are packed
+    into one payload."""
+    import jax
 
     if jax.process_count() == 1:
         return arrays
     shapes = [np.asarray(a).shape for a in arrays]
     payload = np.concatenate(
-        [np.asarray(a, np.float64).ravel() for a in arrays])[None]
-    devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
-    mesh = Mesh(devs, ("proc", "dev"))
-    garr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("proc")), payload)
-    total = np.asarray(jax.jit(lambda a: jnp.sum(a, axis=0),
-                               out_shardings=NamedSharding(mesh, P()))(garr), np.float64)
+        [np.asarray(a, np.float64).ravel() for a in arrays])
+    rows = _allgather_f64_rows(payload)  # (pc, k) float64, bit-exact
+    total = rows.sum(axis=0, dtype=np.float64)
     out, lo = [], 0
     for shp in shapes:
         n = int(np.prod(shp)) if shp else 1
@@ -189,21 +217,14 @@ def make_global_batch(local_np: np.ndarray, sharding):
 
 def allgather_counts(local_n: int):
     """All processes' ``local_n`` values, ordered by process index, visible on
-    every process (device transport, like :func:`allreduce_moments`).
-    Single-process: ``[local_n]``."""
+    every process (bit-exact float64 device transport — exact for any count
+    below 2**53, not f32's 2**24). Single-process: ``[local_n]``."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if jax.process_count() == 1:
         return np.asarray([int(local_n)], np.int64)
-    payload = np.asarray([[np.float64(local_n)]])
-    devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
-    mesh = Mesh(devs, ("proc", "dev"))
-    garr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("proc")), payload)
-    full = np.asarray(jax.jit(lambda a: a + jnp.zeros_like(a),
-                              out_shardings=NamedSharding(mesh, P()))(garr))
-    return np.asarray(np.round(full[:, 0]), np.int64)
+    rows = _allgather_f64_rows(np.asarray([np.float64(local_n)]))
+    return np.asarray(np.round(rows[:, 0]), np.int64)
 
 
 def global_perpixel_stats(hr_np: np.ndarray, lowres_scale: int):
@@ -378,12 +399,15 @@ class MultihostPlan:
                 make_global_batch(np.ascontiguousarray(s[lids]), self.batch_sharding)
                 for s in stats_np)
         else:
+            # cache holds the key object itself so a GC'd tuple can never
+            # alias a new one through CPython id() reuse
             key = id(stats_np)
-            if key not in self._repl_cache:
-                self._repl_cache[key] = tuple(
+            hit = self._repl_cache.get(key)
+            if hit is None or hit[0] is not stats_np:
+                self._repl_cache[key] = (stats_np, tuple(
                     make_global_batch(np.asarray(s, np.float32), self.replicated)
-                    for s in stats_np)
-            item["stats"] = self._repl_cache[key]
+                    for s in stats_np))
+            item["stats"] = self._repl_cache[key][1]
         if timestamps_np is not None:
             item["timestamps"] = make_global_batch(
                 np.ascontiguousarray(timestamps_np[lids]), self.batch_sharding)

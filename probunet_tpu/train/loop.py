@@ -42,6 +42,16 @@ def _compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _crps_batches(cfg: Config, n_val_batches: int) -> int:
+    """How many val batches the per-epoch CRPS eval covers: the FULL split by
+    default; ``--crps_eval_batches N`` bounds the cost for huge splits. The
+    count is always logged (crps_batches_evaluated) so a truncated metric can
+    never masquerade as the split metric."""
+    if cfg.crps_eval_batches:
+        return min(n_val_batches, int(cfg.crps_eval_batches))
+    return n_val_batches
+
+
 def load_datasets(cfg: Config) -> Dict[str, ClimexDataset]:
     """Build the three split datasets. Multi-host: each process ingests only
     its contiguous shard of the TRAIN years (per-host file sharding, the dask
@@ -138,6 +148,13 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         resume_step = int(state.step)
         print(f"resumed from {cfg.resume} at step {resume_step}")
     state = plan.put_state(state) if plan else put_replicated(state, mesh)
+    if cfg.max_steps and resume_step >= cfg.max_steps:
+        # finished step-bounded run: resuming must be a pure no-op (no extra
+        # step, no new checkpoint) — same semantics as the epoch-bounded case
+        print(f"max_steps={cfg.max_steps} already reached at resume "
+              f"(step {resume_step}); nothing to do")
+        return {"state": state, "tr_losses": [], "val_losses": [],
+                "samples_per_sec": 0.0}
 
     dtype = _compute_dtype(cfg)
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
@@ -307,7 +324,8 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # crps_empirical but never wires it; BASELINE config #3) ----
         if crps_fn is not None:
             acc = {}
-            for bi in range(min(vbatches.shape[0], 16)):
+            nb_crps = _crps_batches(cfg, vbatches.shape[0])
+            for bi in range(nb_crps):
                 rng_b = jax.random.fold_in(eval_rng, 10_000 + bi)
                 if plan is not None:
                     item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
@@ -320,6 +338,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
                 for k, v in m.items():
                     acc.setdefault(k, []).append(float(v))
             crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
+            crps_metrics["crps_batches_evaluated"] = nb_crps
             logger.log(crps_metrics, step=global_step)
 
         # ---- sample + plot every 2 epochs (reference main.py:125-134) ----
@@ -433,15 +452,18 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     Heun-sampled ensembles for the every-2-epochs plots (same contract as the
     prob-U-Net loop), checkpoints. Completes the 'make the dead code live'
     story for the reference's unused EDMPrecond."""
-    from probunet_tpu.parallel.multihost import require_single_process
+    from probunet_tpu.parallel.multihost import make_plan
     from probunet_tpu.train import (make_edm_crps_eval_fn, make_edm_eval_step,
                                     make_edm_sample_fn, make_edm_train_step)
 
-    require_single_process("the EDM driver (ds_model=edm)", cfg)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
     dtype = _compute_dtype(cfg)
+    # Lockstep multi-process plan (global stats + stratified global batches),
+    # exactly as in train_probunet — the EDM step shares its signature, so the
+    # DP multi-host machinery serves the diffusion driver unchanged.
+    plan = make_plan(cfg, ds_train, mesh)
 
     model = build_edm_model(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
@@ -451,7 +473,7 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
         print(f"resumed from {cfg.resume} at step {int(state.step)}")
-    state = put_replicated(state, mesh)
+    state = plan.put_state(state) if plan else put_replicated(state, mesh)
 
     train_step = make_edm_train_step(model, tx, cfg.lowres_scale, cfg.standardization,
                                      compute_dtype=dtype, donate=cfg.donate_state)
@@ -475,14 +497,20 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
         return put_replicated(a, mesh)
     def put_idx(idx):
         return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    hr_train = put_data(ds_train.hr_device())
-    hr_val = put_data(ds_val.hr_device())
-    stats_train = put_replicated(ds_train.stats, mesh)
-    stats_val = put_replicated(ds_val.stats, mesh)
+    hr_train = stats_train = hr_val = stats_val = None
+    if plan is not None:
+        stats_val_np = plan.split_stats(ds_val)
+    else:
+        hr_train = put_data(ds_train.hr_device())
+        hr_val = put_data(ds_val.hr_device())
+        stats_train = put_replicated(ds_train.stats, mesh)
+        stats_val = put_replicated(ds_val.stats, mesh)
 
+    primary = plan is None or plan.is_primary
     os.makedirs(cfg.plotdir, exist_ok=True)
-    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_edm.jsonl"),
-                          use_wandb=cfg.wandb)
+    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_edm.jsonl")
+    logger = MetricLogger(metrics_path if primary else None,
+                          use_wandb=cfg.wandb and primary)
     timer = StepTimer(cfg.profile_dir)
     rng = jax.random.key(cfg.seed + 3, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
@@ -492,11 +520,10 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     for epoch in range(1, cfg.num_epochs + 1):
         running = []
         timer.reset()
-        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-        for bi in progress(range(batches.shape[0]),
-                           desc=f"Train(edm) :: Epoch: {epoch}/{cfg.num_epochs}"):
-            idx = put_idx(jnp.asarray(batches[bi]))
-            state, metrics = train_step(state, hr_train, stats_train, idx, rng)
+        desc = f"Train(edm) :: Epoch: {epoch}/{cfg.num_epochs}"
+
+        def after_step(metrics):
+            nonlocal step_count
             step_count += 1
             timer.tick(cfg.batch_size)
             running.append(metrics["train_loss"])
@@ -504,15 +531,38 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                 m = {k: float(v) for k, v in metrics.items()}
                 m["samples_per_sec"] = timer.rate()
                 logger.log(m, step=step_count)
+
+        if plan is not None:
+            batches = plan.epoch_batches(cfg.seed + epoch)
+            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
+            for item in progress(it, desc=desc, total=batches.shape[0]):
+                state, metrics = train_step(state, item["hr"], item["stats"],
+                                            item["idx"], rng)
+                after_step(metrics)
+        else:
+            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+            for bi in progress(range(batches.shape[0]), desc=desc):
+                idx = put_idx(jnp.asarray(batches[bi]))
+                state, metrics = train_step(state, hr_train, stats_train, idx, rng)
+                after_step(metrics)
         tr_losses.append(float(jnp.mean(jnp.stack(running))))
 
-        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
         vloss = []
-        for bi in range(vbatches.shape[0]):
-            idx = put_idx(jnp.asarray(vbatches[bi]))
-            m = eval_step(state.params, hr_val, stats_val, idx,
-                          jax.random.fold_in(eval_rng, bi))
-            vloss.append(m["val_loss"])
+        if plan is not None:
+            vbatches = plan.replicated_batches(len(ds_val))
+            for bi in range(vbatches.shape[0]):
+                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                         replicated_source=True)
+                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
+                              jax.random.fold_in(eval_rng, bi))
+                vloss.append(m["val_loss"])
+        else:
+            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+            for bi in range(vbatches.shape[0]):
+                idx = put_idx(jnp.asarray(vbatches[bi]))
+                m = eval_step(state.params, hr_val, stats_val, idx,
+                              jax.random.fold_in(eval_rng, bi))
+                vloss.append(m["val_loss"])
         val_losses.append(float(jnp.mean(jnp.stack(vloss))))
         logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
                     "val_loss": val_losses[-1]}, step=step_count)
@@ -520,23 +570,33 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
         # ---- optional Heun-ensemble CRPS (same metric surface as probunet) ----
         if crps_fn is not None:
             acc = {}
-            for bi in range(min(vbatches.shape[0], 16)):
-                idx = put_idx(jnp.asarray(vbatches[bi]))
-                m = crps_fn(state.params, hr_val, stats_val, idx,
-                            jax.random.fold_in(eval_rng, 10_000 + bi))
+            nb_crps = _crps_batches(cfg, vbatches.shape[0])
+            for bi in range(nb_crps):
+                rng_b = jax.random.fold_in(eval_rng, 10_000 + bi)
+                if plan is not None:
+                    item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                             replicated_source=True)
+                    m = crps_fn(state.params, item["hr"], item["stats"],
+                                item["idx"], rng_b)
+                else:
+                    idx = put_idx(jnp.asarray(vbatches[bi]))
+                    m = crps_fn(state.params, hr_val, stats_val, idx, rng_b)
                 for k, v in m.items():
                     acc.setdefault(k, []).append(float(v))
-            logger.log({k: float(np.mean(v)) for k, v in acc.items()},
-                       step=step_count)
+            crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
+            crps_metrics["crps_batches_evaluated"] = nb_crps
+            logger.log(crps_metrics, step=step_count)
 
         if make_plots and epoch % 2 == 0:
             # make_edm_sample_fn shares make_sample_fn's surface, so the
             # prob-U-Net plot helper serves the diffusion ensemble unchanged
-            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch)
+            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
+                                   plan=plan)
 
+        # all processes: orbax coordinates multi-process saves itself
         save_checkpoint(os.path.join(cfg.checkpoints_dir, "edm"), jax.device_get(state))
 
-    if make_plots:
+    if make_plots and primary:
         from probunet_tpu.viz import plot_loss_curves
         plot_loss_curves(tr_losses, val_losses, os.path.join(cfg.plotdir, "loss_edm.png"))
     logger.close()

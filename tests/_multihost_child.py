@@ -20,12 +20,13 @@ from probunet_tpu.parallel.multihost import maybe_initialize_distributed
 maybe_initialize_distributed()
 
 from probunet_tpu.config import get_config
-from probunet_tpu.train.loop import train_probunet
+from probunet_tpu.train.loop import train_edm, train_probunet
 
 
 def main():
     cfg = get_config()
-    res = train_probunet(cfg, make_plots=False)
+    fn = train_edm if cfg.ds_model == "edm" else train_probunet
+    res = fn(cfg, make_plots=False)
     print(f"[p{jax.process_index()}] FINAL tr={res['tr_losses']} "
           f"val={res['val_losses']}", flush=True)
 
