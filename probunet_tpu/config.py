@@ -81,6 +81,9 @@ class Config:
     # --- observability ---
     wandb: bool = False
     log_every: int = 50
+    # wandb.watch parity (reference baseline/main.py:57-58): every N steps log
+    # per-layer gradient norms + parameter histograms/norms. 0 = off.
+    watch_every: int = 0
     plotdir: str = "./results/plots"
     checkpoints_dir: str = "./results/checkpoints"
     metrics_path: str = ""          # JSONL metrics file ("" => <plotdir>/metrics.jsonl)

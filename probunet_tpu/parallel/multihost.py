@@ -320,15 +320,21 @@ class MultihostPlan:
             self.offset = 0
         self.global_train_n = int(sum(self.shard_sizes))
         self.replicated = replicated(mesh)
-        if cfg.batch_size % mesh.devices.size == 0:
-            self.batch_sharding = batch_sharding(mesh)
+        # Batch rows shard over the mesh's "data" axis when it exists (2D
+        # data x spatial meshes shard H over the other axis), else over the
+        # whole (1D DP) mesh.
+        data_size = (mesh.shape["data"] if "data" in mesh.axis_names
+                     else mesh.devices.size)
+        if cfg.batch_size % data_size == 0:
+            self.batch_sharding = batch_sharding(
+                mesh, "data" if "data" in mesh.axis_names else mesh.axis_names[0])
         elif self.pc == 1:
             # same fallback as the DP loop's put_idx: replicate small batches
             self.batch_sharding = self.replicated
         else:
             raise ValueError(
                 f"batch_size {cfg.batch_size} must be divisible by the "
-                f"{mesh.devices.size}-device mesh for multi-process batch sharding")
+                f"{data_size}-way data axis for multi-process batch sharding")
         # GLOBAL train-split standardization stats (host numpy)
         self.stats_np = self.split_stats(ds_train, merged=True)
         # device-replicated global-stats tuples, cached per stats object so

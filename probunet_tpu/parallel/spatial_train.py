@@ -36,16 +36,14 @@ def shard_map_unchecked(*args, **kw):
     Any new spatial code without Pallas calls should use plain
     ``jax.shard_map`` so it keeps the replication checker. Gradient
     correctness for the unchecked bodies here is covered by
-    tests/test_spatial_train.py's sharded==unsharded grad parity."""
+    tests/test_spatial_train.py's sharded==unsharded grad parity.
+
+    (There is deliberately NO ``shard_map`` alias for this function: every
+    call site must spell out that the checker is off.)"""
     try:
         return _shard_map(*args, check_vma=False, **kw)
     except TypeError:  # pragma: no cover - older jax spells it check_rep
         return _shard_map(*args, check_rep=False, **kw)
-
-
-# Back-compat alias (tests import it under this name); prefer the explicit
-# `shard_map_unchecked` in new code so the disabled checker is visible.
-shard_map = shard_map_unchecked
 
 from probunet_tpu.parallel.spatial_unet import spatial_probunet_elbo
 from probunet_tpu.train.state import TrainState
@@ -180,11 +178,28 @@ def make_spatial_sample_fn(model, mesh, axis_name: str = "space",
     return jax.jit(fn)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _replicator(mesh):
+    """Jitted identity that reshards its input fully-replicated — the
+    host-fetchable layout for multi-process global arrays (built once per
+    mesh so repeated calls don't recompile)."""
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
 def _spatial_ensemble_physical(cfg, sample_fn, params, ds, idx, stats_np,
-                               mesh, axis, rng):
+                               mesh, axis, rng, multiprocess: bool = False):
     """Shared plot/CRPS tail: pair synthesis -> H-sharded ensemble decode ->
     gather -> residual->HR inverse on host. Returns (pair, hr_preds) with
-    hr_preds (B, K, H, W, C) in physical units."""
+    hr_preds (B, K, H, W, C) in physical units.
+
+    ``multiprocess=True`` (plan mode): the split is replicated per process,
+    so the pair is computed locally, uploaded as a GLOBAL array via
+    make_array_from_process_local_data, decoded by the collective-bearing
+    sampler on ALL processes, and the (identical) output gathered replicated
+    before the host fetch."""
     import numpy as np
 
     from probunet_tpu.data import transforms
@@ -195,8 +210,14 @@ def _spatial_ensemble_physical(cfg, sample_fn, params, ds, idx, stats_np,
         sl = transforms.slice_stats(tuple(jnp.asarray(s) for s in stats_np),
                                     cfg.standardization, jnp.asarray(idx))
     pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
-    x = put_spatial(pair["inputs"], mesh, axis)
-    preds = jnp.asarray(np.asarray(sample_fn(params, x, rng)))  # gather H
+    if multiprocess:
+        from probunet_tpu.parallel.multihost import make_global_batch
+        x = make_global_batch(np.asarray(pair["inputs"]),
+                              NamedSharding(mesh, P(None, axis)))
+        preds = jnp.asarray(np.asarray(_replicator(mesh)(sample_fn(params, x, rng))))
+    else:
+        x = put_spatial(pair["inputs"], mesh, axis)
+        preds = jnp.asarray(np.asarray(sample_fn(params, x, rng)))  # gather H
     if sl is not None and cfg.standardization != "perpixel":
         sl_k = (sl[0][:, None], sl[1][:, None])
     else:
@@ -207,9 +228,12 @@ def _spatial_ensemble_physical(cfg, sample_fn, params, ds, idx, stats_np,
 
 
 def _plot_spatial_samples(cfg, sample_fn, params, ds_test, stats_test_np,
-                          mesh, axis, epoch):
+                          mesh, axis, epoch, write: bool = True,
+                          multiprocess: bool = False):
     """Sampling plots every 2 epochs — the reference main.py:125-134 contract,
-    matched with the DP loop's _plot_probunet_samples."""
+    matched with the DP loop's _plot_probunet_samples. Multi-process: the
+    collective-bearing decode runs everywhere; only the primary (``write``)
+    renders the figure."""
     import os
 
     import matplotlib.pyplot as plt
@@ -221,7 +245,9 @@ def _plot_spatial_samples(cfg, sample_fn, params, ds_test, stats_test_np,
     idx = np.random.default_rng(epoch).integers(0, len(ds_test), size=n)
     pair, hr_preds = _spatial_ensemble_physical(
         cfg, sample_fn, params, ds_test, idx, stats_test_np, mesh, axis,
-        jax.random.key(epoch))
+        jax.random.key(epoch), multiprocess=multiprocess)
+    if not write:
+        return
     fig, _ = plot_sample_batch(np.asarray(pair["lrinterp"]), np.asarray(hr_preds),
                                np.asarray(pair["hr"]),
                                ds_test.timestamps_np[idx], epoch, cfg.variables,
@@ -232,25 +258,31 @@ def _plot_spatial_samples(cfg, sample_fn, params, ds_test, stats_test_np,
 
 
 def _spatial_crps_metrics(cfg, sample_fn, params, ds_val, stats_val_np, mesh,
-                          axis, eval_rng, max_batches: int = 16):
+                          axis, eval_rng, max_batches=None,
+                          multiprocess: bool = False):
     """Ensemble CRPS + ensemble-mean MAE in physical units on the val split —
     the SAME metric tail as the DP loop (train.steps._ensemble_crps_metrics),
-    decoded through the H-sharded ensemble."""
+    decoded through the H-sharded ensemble. ``max_batches=None`` covers the
+    FULL split; the evaluated count is logged either way."""
     import numpy as np
 
     from probunet_tpu.train.steps import _ensemble_crps_metrics
 
     acc = {}
     vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-    for bi in range(min(vbatches.shape[0], max_batches)):
+    nb = vbatches.shape[0] if max_batches is None else min(vbatches.shape[0],
+                                                           int(max_batches))
+    for bi in range(nb):
         idx = vbatches[bi]
         pair, hr_preds = _spatial_ensemble_physical(
             cfg, sample_fn, params, ds_val, idx, stats_val_np, mesh, axis,
-            jax.random.fold_in(eval_rng, 10_000 + bi))
+            jax.random.fold_in(eval_rng, 10_000 + bi), multiprocess=multiprocess)
         for k, v in _ensemble_crps_metrics(hr_preds, pair["hr"],
                                            cfg.variables).items():
             acc.setdefault(k, []).append(float(v))
-    return {k: float(np.mean(v)) for k, v in acc.items()}
+    out = {k: float(np.mean(v)) for k, v in acc.items()}
+    out["crps_batches_evaluated"] = nb
+    return out
 
 
 def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
@@ -280,12 +312,13 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     from probunet_tpu.train.steps import beta_schedule
     from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
 
-    from probunet_tpu.parallel.multihost import require_single_process
+    from probunet_tpu.parallel.multihost import make_plan, require_single_process
 
-    require_single_process(f"the spatial driver (parallel_mode={cfg.parallel_mode})",
-                           cfg)
     axis = "space"
     two_d = cfg.parallel_mode == "2d"
+    if not two_d:
+        # pure H-sharding has no batch axis to shard across processes
+        require_single_process("the spatial driver (parallel_mode=spatial)", cfg)
     if two_d:
         import jax as _jax
         shape = tuple(cfg.mesh_shape) if len(cfg.mesh_shape) == 2 else (2, -1)
@@ -308,6 +341,16 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     datasets = datasets or load_datasets(cfg)
     ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # 2d mode composes with the multi-host machinery: batch rows shard over
+    # the "data" axis (which spans the processes), H over "space" — the
+    # MultihostPlan assembles each step's global batch from per-process rows
+    # exactly as in the DP loops. None single-process (unless --data_shards).
+    plan = make_plan(cfg, ds_train, mesh) if two_d else None
+    if plan is not None and plan.pc > 1 and mesh.shape["data"] % plan.pc:
+        raise ValueError(
+            f"2d multi-process needs the data axis ({mesh.shape['data']}) to be "
+            f"a multiple of process_count ({plan.pc}) so each process owns "
+            "contiguous batch shards")
 
     model = build_probunet(cfg)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
@@ -316,7 +359,8 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    state = (plan.put_state(state) if plan is not None
+             else jax.device_put(state, NamedSharding(mesh, P())))
 
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
     step = make_spatial_probunet_train_step(model, tx, mesh, axis, beta_fn,
@@ -333,8 +377,19 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
                                                 cfg.crps_samples, dtype)
 
     # Host-resident data (the whole point of this mode); global stats streamed.
-    stats_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
-                                          cfg.standardization)
+    # Plan mode: the TRAIN stats are all-reduced across the year-sharded
+    # processes (plan.stats_np); val/test splits are replicated per process.
+    if plan is not None:
+        stats_np = plan.stats_np
+        stats_val_np = plan.split_stats(ds_val)
+        stats_test_np = plan.split_stats(ds_test)
+    else:
+        stats_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
+                                              cfg.standardization)
+        stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
+                                                  cfg.standardization)
+        stats_test_np = compute_lr_stats_streaming(ds_test.hr_np, cfg.lowres_scale,
+                                                   cfg.standardization)
     pair_fn = jax.jit(lambda hr, sl: transforms.make_pair(
         hr, cfg.lowres_scale, cfg.standardization, sl))
 
@@ -349,13 +404,27 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
         return (put_spatial(pair["inputs"], mesh, axis, batch_axis),
                 put_spatial(pair["targets"], mesh, axis, batch_axis))
 
-    stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
-                                              cfg.standardization)
-    stats_test_np = compute_lr_stats_streaming(ds_test.hr_np, cfg.lowres_scale,
-                                               cfg.standardization)
+    # Plan mode: pair synthesis runs ON the plan's global batch arrays
+    # (hr batch-sharded over "data", H replicated) and the jit reshards the
+    # outputs onto the (data, space) layout the shard_map'd ELBO expects.
+    xy_sh = NamedSharding(mesh, P(batch_axis, axis))
+
+    def _pair_from_item(hr, stats, idx):
+        hr = jnp.take(hr, idx, axis=0)
+        sl = transforms.slice_stats(stats, cfg.standardization, idx)
+        pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
+        return pair["inputs"], pair["targets"]
+
+    pair_item_fn = jax.jit(_pair_from_item, out_shardings=(xy_sh, xy_sh))
+
+    def plan_xy(item):
+        return pair_item_fn(item["hr"], item["stats"], item["idx"])
+
+    primary = plan is None or plan.is_primary
     os.makedirs(cfg.plotdir, exist_ok=True)
-    logger = MetricLogger(cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl"),
-                          use_wandb=cfg.wandb)
+    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl")
+    logger = MetricLogger(metrics_path if primary else None,
+                          use_wandb=cfg.wandb and primary)
     timer = StepTimer(cfg.profile_dir)
     rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
@@ -365,11 +434,10 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     for epoch in range(1, cfg.num_epochs + 1):
         running = []
         timer.reset()
-        batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-        for bi in progress(range(batches.shape[0]),
-                           desc=f"Train(spatial) :: Epoch: {epoch}/{cfg.num_epochs}"):
-            x, y = batch_xy(ds_train, batches[bi], stats_np)
-            state, metrics = step(state, x, y, rng)
+        desc = f"Train(spatial) :: Epoch: {epoch}/{cfg.num_epochs}"
+
+        def after_step(metrics):
+            nonlocal step_count
             step_count += 1
             timer.tick(cfg.batch_size)
             running.append(metrics["train_loss"])
@@ -377,32 +445,63 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
                 m = {k: float(v) for k, v in metrics.items()}
                 m["samples_per_sec"] = timer.rate()
                 logger.log(m, step=step_count)
+
+        if plan is not None:
+            batches = plan.epoch_batches(cfg.seed + epoch)
+            it = plan.batch_iter(ds_train.hr_np, batches, stats_np)
+            for item in progress(it, desc=desc, total=batches.shape[0]):
+                x, y = plan_xy(item)
+                state, metrics = step(state, x, y, rng)
+                after_step(metrics)
+        else:
+            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
+            for bi in progress(range(batches.shape[0]), desc=desc):
+                x, y = batch_xy(ds_train, batches[bi], stats_np)
+                state, metrics = step(state, x, y, rng)
+                after_step(metrics)
         tr_losses.append(float(jnp.mean(jnp.stack(running))))
 
-        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
         vloss = []
-        for bi in range(vbatches.shape[0]):
-            x, y = batch_xy(ds_val, vbatches[bi], stats_val_np)
-            m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
-                        jnp.float32(cfg.beta))
-            vloss.append(m["val_loss"])
+        if plan is not None:
+            vbatches = plan.replicated_batches(len(ds_val))
+            for bi in range(vbatches.shape[0]):
+                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
+                                         replicated_source=True)
+                x, y = plan_xy(item)
+                m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
+                            jnp.float32(cfg.beta))
+                vloss.append(m["val_loss"])
+        else:
+            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
+            for bi in range(vbatches.shape[0]):
+                x, y = batch_xy(ds_val, vbatches[bi], stats_val_np)
+                m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
+                            jnp.float32(cfg.beta))
+                vloss.append(m["val_loss"])
         val_losses.append(float(jnp.mean(jnp.stack(vloss))))
         logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
                     "val_loss": val_losses[-1]}, step=step_count)
 
-        # ---- optional ensemble CRPS on the val split (DP-loop contract) ----
+        # ---- optional ensemble CRPS on the val split (DP-loop contract);
+        # the sharded sampler contains mesh collectives, so in plan mode it
+        # runs on ALL processes (identical values) and only the primary logs ----
         if crps_sample_fn is not None:
             crps_metrics = _spatial_crps_metrics(
                 cfg, crps_sample_fn, state.params, ds_val, stats_val_np,
-                mesh, axis, eval_rng)
+                mesh, axis, eval_rng,
+                max_batches=cfg.crps_eval_batches or None,
+                multiprocess=plan is not None and plan.pc > 1)
             logger.log(crps_metrics, step=step_count)
 
         # ---- sampling plots every 2 epochs over the test split
         # (reference main.py:125-134, same cadence as the DP loop) ----
         if make_plots and epoch % 2 == 0:
             _plot_spatial_samples(cfg, sample_fn, state.params, ds_test,
-                                  stats_test_np, mesh, axis, epoch)
+                                  stats_test_np, mesh, axis, epoch,
+                                  write=primary,
+                                  multiprocess=plan is not None and plan.pc > 1)
 
+        # all processes: orbax coordinates multi-process saves itself
         save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
                         jax.device_get(state))
     logger.close()

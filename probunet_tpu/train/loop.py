@@ -160,7 +160,8 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
     train_step = make_probunet_train_step(model, tx, cfg.lowres_scale,
                                           cfg.standardization, beta_fn, dtype,
-                                          donate=cfg.donate_state, accum=cfg.accum)
+                                          donate=cfg.donate_state, accum=cfg.accum,
+                                          watch=cfg.watch_every > 0)
     eval_step = make_probunet_eval_step(model, cfg.lowres_scale, cfg.standardization, dtype)
     sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
                                cfg.num_samples, dtype)
@@ -246,9 +247,15 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
             timer.tick(cfg.batch_size)
             running.append(metrics["train_loss"])
             if global_step % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in metrics.items()
+                     if not k.startswith("gradnorm/")}
                 m["samples_per_sec"] = timer.rate()
                 logger.log(m, step=global_step)
+            if cfg.watch_every and global_step % cfg.watch_every == 0:
+                # wandb.watch parity: per-layer grad norms + param histograms
+                logger.log({k: float(v) for k, v in metrics.items()
+                            if k.startswith("gradnorm/")}, step=global_step)
+                logger.log_param_histograms(state.params, step=global_step)
             if cfg.checkpoint_every and global_step % cfg.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, jax.device_get(state))
             return bool(cfg.max_steps) and global_step >= cfg.max_steps
@@ -656,7 +663,8 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     train_step = make_deterministic_train_step(model, tx, cfg.lowres_scale,
                                                cfg.standardization, dtype,
                                                donate=cfg.donate_state,
-                                               timetransform=cfg.timetransform)
+                                               timetransform=cfg.timetransform,
+                                               watch=cfg.watch_every > 0)
     eval_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
                                              cfg.variables, reconstruct=False,
                                              timetransform=cfg.timetransform)
@@ -700,6 +708,22 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     tr_losses = {v: [] for v in cfg.variables}
     val_losses = {v: [] for v in cfg.variables}
     step_count = 0
+
+    def record(metrics):
+        """Shared per-step bookkeeping across the three ingest branches."""
+        nonlocal step_count
+        step_count += 1
+        for i, v in enumerate(cfg.variables):
+            tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
+        if step_count % cfg.log_every == 0:
+            logger.log({k: float(x) for k, x in metrics.items()
+                        if not k.startswith("gradnorm/")}, step=step_count)
+        if cfg.watch_every and step_count % cfg.watch_every == 0:
+            # wandb.watch parity (reference baseline/main.py:57-58)
+            logger.log({k: float(x) for k, x in metrics.items()
+                        if k.startswith("gradnorm/")}, step=step_count)
+            logger.log_param_histograms(state.params, step=step_count)
+
     for epoch in range(1, cfg.num_epochs + 1):
         desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
         if plan is not None:
@@ -709,11 +733,7 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
             for item in progress(it, desc=desc, total=batches.shape[0]):
                 state, metrics = train_step(state, item["hr"], item["stats"],
                                             item["idx"], item["timestamps"], rng)
-                step_count += 1
-                for i, v in enumerate(cfg.variables):
-                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
-                if step_count % cfg.log_every == 0:
-                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+                record(metrics)
         elif streaming:
             from probunet_tpu.data.pipeline import stream_batches
             from probunet_tpu.parallel import batch_sharding, replicated
@@ -729,22 +749,14 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
             for item in progress(it, desc=desc, total=nb):
                 state, metrics = train_step(state, item["hr"], item.get("stats"),
                                             arange, item["timestamps"], rng)
-                step_count += 1
-                for i, v in enumerate(cfg.variables):
-                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
-                if step_count % cfg.log_every == 0:
-                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+                record(metrics)
         else:
             batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
             for bi in progress(range(batches.shape[0]), desc=desc):
                 idx = jnp.asarray(batches[bi])
                 state, metrics = train_step(state, hr_train, stats_train,
                                             put_idx(idx), ts_train[idx], rng)
-                step_count += 1
-                for i, v in enumerate(cfg.variables):
-                    tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
-                if step_count % cfg.log_every == 0:
-                    logger.log({k: float(x) for k, x in metrics.items()}, step=step_count)
+                record(metrics)
         if plan is not None:
             vbatches = plan.replicated_batches(len(ds_val))
             for bi in range(vbatches.shape[0]):

@@ -51,8 +51,27 @@ def _split_rngs(rng: jax.Array, step: jax.Array):
     return {"latent": r_latent, "dropout": r_dropout}
 
 
+def _leaf_name(key_path) -> str:
+    out = []
+    for k in key_path:
+        out.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return ".".join(out)
+
+
+def _grad_leaf_norms(grads) -> dict:
+    """Per-layer L2 gradient norms under 'gradnorm/<path>' keys — the
+    gradient half of the reference's ``wandb.watch(model)`` observability
+    (baseline/main.py:57-58). Computed in-program (one extra pass over the
+    gradient tree); the loops log them at --watch_every cadence."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    return {f"gradnorm/{_leaf_name(kp)}":
+            jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            for kp, g in flat}
+
+
 def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
-                        beta_fn: Optional[Callable], compute_dtype, accum: int = 1):
+                        beta_fn: Optional[Callable], compute_dtype, accum: int = 1,
+                        watch: bool = False):
     """Unjitted single-step body shared by the per-step and scanned variants.
 
     Accumulation semantics: ``state.step`` counts MICRO-steps (it increments on
@@ -85,6 +104,8 @@ def _probunet_step_body(model, tx, lowres_scale: int, standardization: str,
         new_state = TrainState(params, opt_state, state.step + 1)
         metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta,
                    "grad_norm": optax.global_norm(grads)}
+        if watch:
+            metrics.update(_grad_leaf_norms(grads))
         return new_state, metrics
 
     return step
@@ -99,16 +120,18 @@ def make_probunet_train_step(
     compute_dtype=jnp.float32,
     donate: bool = True,
     accum: int = 1,
+    watch: bool = False,
 ):
     """Returns step(state, hr_all, stats, idx, rng) -> (state, metrics).
 
     hr_all: (T, H, W, C) device-resident dataset tensor; idx: (B,) int batch
     indices; stats: split statistics from ClimexDataset.stats. ``accum`` must
     match the optimizer's MultiSteps window (β-schedule semantics, see
-    :func:`_probunet_step_body`).
+    :func:`_probunet_step_body`). ``watch`` adds per-layer gradient norms to
+    the metrics (wandb.watch parity; --watch_every).
     """
     step = _probunet_step_body(model, tx, lowres_scale, standardization, beta_fn,
-                               compute_dtype, accum)
+                               compute_dtype, accum, watch=watch)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -415,6 +438,7 @@ def make_deterministic_train_step(
     donate: bool = True,
     loss: str = "mse",
     timetransform: str = "id",
+    watch: bool = False,
 ):
     """MSE training step for the deterministic U-Net / LinearCNN baselines
     (reference trainmodel.py:119-202), with per-variable loss metrics.
@@ -451,6 +475,8 @@ def make_deterministic_train_step(
         metrics = {"train_loss": total}
         for i in range(y.shape[-1]):
             metrics[f"train_loss_var{i}"] = loss_of(preds[..., i], y[..., i])
+        if watch:
+            metrics.update(_grad_leaf_norms(grads))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

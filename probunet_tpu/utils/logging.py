@@ -56,6 +56,27 @@ class MetricLogger:
         if self.wandb_run is not None:
             self.wandb_run.log(rec, step=step)
 
+    def log_param_histograms(self, params, step: Optional[int] = None) -> None:
+        """Parameter-distribution logging — the parameter half of the
+        reference's ``wandb.watch(model)`` (baseline/main.py:57-58). With a
+        wandb run, full per-layer histograms go up as wandb.Histogram;
+        the JSONL record always gets per-layer L2 norms (full histograms
+        would bloat the machine-readable log)."""
+        import jax
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+        def name(kp):
+            return ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in kp)
+        norms = {f"paramnorm/{name(kp)}": float(np.linalg.norm(np.asarray(v, np.float64)))
+                 for kp, v in flat}
+        self.log(norms, step=step)
+        if self.wandb_run is not None:
+            hists = {f"params/{name(kp)}": _wandb.Histogram(np.asarray(v))
+                     for kp, v in flat}
+            self.wandb_run.log(hists, step=step)
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()

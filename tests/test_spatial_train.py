@@ -20,7 +20,7 @@ from probunet_tpu.train.state import make_optimizer
 
 # the production wrapper (check_vma off — required for Pallas kernels inside);
 # grad parity below therefore proves correctness of the production config
-from probunet_tpu.parallel.spatial_train import shard_map
+from probunet_tpu.parallel.spatial_train import shard_map_unchecked
 
 
 ARCH = dict(num_filters=(16, 32), model_channels=32, channel_mult=(1, 2),
@@ -78,7 +78,7 @@ class TestShardedElboGradParity:
             def body(p, xl, yl):
                 return spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
                                              beta=beta, z=z, **ARCH)
-            fn = shard_map(body, mesh=mesh,
+            fn = shard_map_unchecked(body, mesh=mesh,
                            in_specs=(P(), P(None, "space"), P(None, "space")),
                            out_specs=(P(), P(), P()))
             total, recon, kl = fn(p, x, y)
@@ -109,7 +109,7 @@ class TestShardedElboGradParity:
                 t, _, _ = spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
                                                 z=z, remat=remat, **ARCH)
                 return t
-            fn = shard_map(body, mesh=mesh,
+            fn = shard_map_unchecked(body, mesh=mesh,
                            in_specs=(P(), P(None, "space"), P(None, "space")),
                            out_specs=P())
             return fn(p, x, y)
@@ -228,7 +228,7 @@ class TestSpatial2D:
                 return spatial_probunet_elbo(p, xl, yl, (32, 32), "space",
                                              beta=beta, z=zl,
                                              batch_axis_name="data", **ARCH)
-            fn = shard_map(body, mesh=mesh2d,
+            fn = shard_map_unchecked(body, mesh=mesh2d,
                            in_specs=(P(), xy_spec, xy_spec, P("data")),
                            out_specs=(P(), P(), P()))
             total, recon, kl = fn(p, x, y, z)
