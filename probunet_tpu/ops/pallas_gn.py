@@ -39,8 +39,34 @@ except ImportError:  # pragma: no cover
 
 from probunet_tpu.ops.norm import group_norm_silu as _xla_gn_silu
 
-# per-item VMEM budget for the single-pass kernel (bytes, conservative)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# per-invocation VMEM budget (bytes). The estimate below (see _vmem_estimate)
+# models in/out double buffering + the fp32 working copies; the hardware
+# scoped limit is 16 MB, measured real usage ≈ 0.85x the estimate, so 12 MB
+# keeps real allocations comfortably under the limit.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_estimate(hw: int, c_blk: int, itemsize: int) -> int:
+    # in + out double-buffered (2x2 each) + fp32 x/y temps (4+4+4)
+    return hw * c_blk * (4 * itemsize + 12)
+
+
+def _split_factor(h: int, w: int, c: int, groups: int, itemsize: int) -> int:
+    """Channel-block split for large activations: GroupNorm statistics are
+    independent per group, so blocks covering whole groups can normalize
+    independently — grid (B, k) with c/k channels (and groups/k groups) per
+    invocation. Returns the smallest power-of-2 k whose blocks fit the VMEM
+    budget, requiring c/k to stay lane-aligned (multiple of 128) and k to
+    divide groups. k=1 when no split is needed; the caller falls back to XLA
+    when even the best split doesn't fit (e.g. c too small to halve)."""
+    hw = h * w
+    k = 1
+    while _vmem_estimate(hw, c // k, itemsize) > _VMEM_BUDGET:
+        nk = k * 2
+        if groups % nk or (c // nk) % 128:
+            break
+        k = nk
+    return k
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, mean_ref, rstd_ref, *, groups: int, eps: float):
@@ -76,41 +102,48 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, mean_ref, rstd_ref, *, groups: int, eps:
     y = (x - mean_c) * rstd_c * gamma + beta
     out = y * jax.nn.sigmoid(y)
     o_ref[0] = out.reshape(h, w, c).astype(o_ref.dtype)
-    mean_ref[0] = mean_g
-    rstd_ref[0] = rstd_g
+    mean_ref[0, 0] = mean_g
+    rstd_ref[0, 0] = rstd_g
 
 
 def _forward_pallas(x, weight, bias, groups: int, eps: float, interpret: bool = False):
     b, h, w, c = x.shape
-    kernel = functools.partial(_kernel, groups=groups, eps=eps)
+    k = _split_factor(h, w, c, groups, np.dtype(x.dtype).itemsize)
+    c_blk, g_blk = c // k, groups // k
+    kernel = functools.partial(_kernel, groups=g_blk, eps=eps)
     out, mean, rstd = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, k),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c_blk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_blk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_blk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c_blk), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            # stats laid out (B, k, 1, g_blk) so every block equals the array
+            # dims in the last two axes (Mosaic tiling rule; NOTES.md)
+            pl.BlockSpec((1, 1, 1, g_blk), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g_blk), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 1, g_blk), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 1, g_blk), jnp.float32),
         ],
         interpret=interpret,
     )(x, weight.reshape(1, c), bias.reshape(1, c))
-    return out, mean[:, 0], rstd[:, 0]
+    return out, mean.reshape(b, groups), rstd.reshape(b, groups)
 
 
-def _fits_vmem(shape, dtype) -> bool:
+def _fits_vmem(shape, dtype, groups: int) -> bool:
     _, h, w, c = shape
-    # input + fp32 working copy + output
-    per_item = h * w * c * (np.dtype(dtype).itemsize + 4 + np.dtype(dtype).itemsize)
-    return per_item <= _VMEM_BUDGET
+    k = _split_factor(h, w, c, groups, np.dtype(dtype).itemsize)
+    return _vmem_estimate(h * w, c // k, np.dtype(dtype).itemsize) <= _VMEM_BUDGET
 
 
 def _on_tpu(x=None) -> bool:
@@ -143,7 +176,8 @@ def _gn_silu_fwd_impl(x, weight, bias, groups, eps, force):
         force = "xla"
     use_pallas = (
         force in ("pallas", "interpret")
-        or (force == "auto" and HAS_PALLAS and _on_tpu(x) and _fits_vmem(x.shape, x.dtype))
+        or (force == "auto" and HAS_PALLAS and _on_tpu(x)
+            and _fits_vmem(x.shape, x.dtype, groups))
     )
     if use_pallas and HAS_PALLAS:
         return _forward_pallas(x, weight, bias, groups, eps,
