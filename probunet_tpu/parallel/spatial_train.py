@@ -356,9 +356,12 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
                         state_dtype=cfg.opt_state_dtype)
     state = init_probunet_state(cfg, model, tx)
+    resume_step = 0
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
+        resume_step = int(state.step)
+        print(f"resumed from {cfg.resume} at step {resume_step}")
     state = (plan.put_state(state) if plan is not None
              else jax.device_put(state, NamedSharding(mesh, P())))
 
@@ -429,9 +432,18 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
 
+    # Exact resume, same mechanism as the DP loop: steps/epoch is constant, so
+    # the restored step counter determines (epoch, intra-epoch offset); the
+    # step's noise folds on state.step, so the continuation replays the exact
+    # sequence an uninterrupted run would have taken.
+    nb_epoch = (plan.steps_per_epoch if plan is not None
+                else len(ds_train) // cfg.batch_size)
     tr_losses, val_losses = [], []
-    step_count = 0
+    step_count = resume_step
     for epoch in range(1, cfg.num_epochs + 1):
+        if step_count >= epoch * nb_epoch:
+            continue  # epoch fully covered by the resumed checkpoint
+        offset = step_count - (epoch - 1) * nb_epoch
         running = []
         timer.reset()
         desc = f"Train(spatial) :: Epoch: {epoch}/{cfg.num_epochs}"
@@ -447,7 +459,7 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
                 logger.log(m, step=step_count)
 
         if plan is not None:
-            batches = plan.epoch_batches(cfg.seed + epoch)
+            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
             it = plan.batch_iter(ds_train.hr_np, batches, stats_np)
             for item in progress(it, desc=desc, total=batches.shape[0]):
                 x, y = plan_xy(item)
@@ -455,11 +467,12 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
                 after_step(metrics)
         else:
             batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(batches.shape[0]), desc=desc):
+            for bi in progress(range(offset, batches.shape[0]), desc=desc):
                 x, y = batch_xy(ds_train, batches[bi], stats_np)
                 state, metrics = step(state, x, y, rng)
                 after_step(metrics)
-        tr_losses.append(float(jnp.mean(jnp.stack(running))))
+        tr_losses.append(float(jnp.mean(jnp.stack(running))) if running
+                         else float("nan"))
 
         vloss = []
         if plan is not None:

@@ -476,10 +476,12 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
                         state_dtype=cfg.opt_state_dtype)
     state = init_edm_state(cfg, model, tx)
+    resume_step = 0
     if cfg.resume:
         from probunet_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(cfg.resume, state)
-        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+        resume_step = int(state.step)
+        print(f"resumed from {cfg.resume} at step {resume_step}")
     state = plan.put_state(state) if plan else put_replicated(state, mesh)
 
     train_step = make_edm_train_step(model, tx, cfg.lowres_scale, cfg.standardization,
@@ -522,9 +524,17 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     rng = jax.random.key(cfg.seed + 3, impl=cfg.rng_impl)
     eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
 
+    # Exact resume, same mechanism as train_probunet: steps/epoch is constant,
+    # so the restored step counter determines (epoch, intra-epoch offset) and
+    # the continuation replays the identical batch/noise sequence.
+    nb_epoch = (plan.steps_per_epoch if plan is not None
+                else len(ds_train) // cfg.batch_size)
     tr_losses, val_losses = [], []
-    step_count = 0
+    step_count = resume_step
     for epoch in range(1, cfg.num_epochs + 1):
+        if step_count >= epoch * nb_epoch:
+            continue  # epoch fully covered by the resumed checkpoint
+        offset = step_count - (epoch - 1) * nb_epoch
         running = []
         timer.reset()
         desc = f"Train(edm) :: Epoch: {epoch}/{cfg.num_epochs}"
@@ -540,7 +550,7 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                 logger.log(m, step=step_count)
 
         if plan is not None:
-            batches = plan.epoch_batches(cfg.seed + epoch)
+            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
             it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
             for item in progress(it, desc=desc, total=batches.shape[0]):
                 state, metrics = train_step(state, item["hr"], item["stats"],
@@ -548,11 +558,12 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                 after_step(metrics)
         else:
             batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(batches.shape[0]), desc=desc):
+            for bi in progress(range(offset, batches.shape[0]), desc=desc):
                 idx = put_idx(jnp.asarray(batches[bi]))
                 state, metrics = train_step(state, hr_train, stats_train, idx, rng)
                 after_step(metrics)
-        tr_losses.append(float(jnp.mean(jnp.stack(running))))
+        tr_losses.append(float(jnp.mean(jnp.stack(running))) if running
+                         else float("nan"))
 
         vloss = []
         if plan is not None:

@@ -182,7 +182,12 @@ def test_two_process_2d_spatial_training_matches_single_process(tmp_path):
     datadir = str(tmp_path / "data")
     generate_climex_like(datadir, years=range(2000, 2006), grid=16,
                          days_per_year=16, seed=7)
-    sp_flags = ("--parallel_mode", "2d", "--mesh_shape", "2,-1")
+    # eval_crps exercises the multiprocess H-sharded ensemble decode
+    # (_spatial_ensemble_physical multiprocess=True: global upload ->
+    # collective sampler on all processes -> replicated gather)
+    sp_flags = ("--parallel_mode", "2d", "--mesh_shape", "2,-1",
+                "--eval_crps", "true", "--crps_samples", "2",
+                "--crps_eval_batches", "2")
 
     m_single = str(tmp_path / "single_2d.jsonl")
     cmd = [sys.executable, CHILD] + _flags(datadir, m_single,
@@ -215,6 +220,16 @@ def test_two_process_2d_spatial_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(tr_m, tr_s, rtol=5e-3)
     assert val_s is not None and val_m is not None
     np.testing.assert_allclose(val_m, val_s, rtol=5e-3)
+
+    # multiprocess ensemble-CRPS decode matches the single-process oracle
+    def crps_rec(path):
+        with open(path) as fh:
+            recs = [json.loads(l) for l in fh if "crps_pr" in l]
+        return recs[-1]
+    c_s, c_m = crps_rec(m_single), crps_rec(m_multi)
+    assert c_m["crps_batches_evaluated"] == 2
+    for k in ("crps_pr", "crps_tasmin", "crps_tasmax"):
+        np.testing.assert_allclose(c_m[k], c_s[k], rtol=5e-3)
 
 
 def _kelvin_half_century(pid: int):

@@ -91,6 +91,48 @@ def test_crps_eval_covers_full_split_and_is_labelled(datadir, tmp_path):
     assert recs2 and recs2[-1]["crps_batches_evaluated"] == 2
 
 
+def test_edm_exact_resume(datadir, tmp_path):
+    """train_edm now shares the DP loop's exact-resume semantics: a finished
+    run resumes to a no-op; extending num_epochs trains only the added
+    epoch(s) (round-4 feature-parity across loops)."""
+    from probunet_tpu.train.loop import train_edm
+
+    cfg = _cfg(datadir, tmp_path, ds_model="edm", edm_steps=2)
+    res = train_edm(cfg, make_plots=False)
+    ckpt = os.path.join(cfg.checkpoints_dir, "edm")
+    nb = int(np.asarray(res["state"].step))
+    assert nb > 0
+
+    # finished run -> no-op
+    res2 = train_edm(cfg.replace(resume=ckpt), make_plots=False)
+    assert int(np.asarray(res2["state"].step)) == nb
+    assert res2["tr_losses"] == [] and res2["val_losses"] == []
+
+    # extend to 2 epochs -> exactly one more epoch trains
+    res3 = train_edm(cfg.replace(resume=ckpt, num_epochs=2), make_plots=False)
+    assert int(np.asarray(res3["state"].step)) == 2 * nb
+    assert len(res3["tr_losses"]) == 1
+
+
+def test_spatial_exact_resume(tmp_path):
+    """Same exact-resume semantics for the spatially-sharded driver. Needs a
+    32-grid so the H shards stay poolable across the 8-device mesh."""
+    datadir = os.path.join(str(tmp_path), "data32")
+    generate_climex_like(datadir, years=(2000, 2001, 2002), grid=32,
+                         days_per_year=8)
+    cfg = _cfg(datadir, tmp_path, parallel_mode="spatial", num_filters=(8, 16),
+               coords=(0, 32, 0, 32), resolution=(32, 32),
+               attn_resolutions=(16,))
+    res = train_probunet(cfg, make_plots=False)
+    ckpt = os.path.join(cfg.checkpoints_dir, "probunet")
+    nb = int(np.asarray(res["state"].step))
+    assert nb > 0
+
+    res2 = train_probunet(cfg.replace(resume=ckpt), make_plots=False)
+    assert int(np.asarray(res2["state"].step)) == nb
+    assert res2["tr_losses"] == [] and res2["val_losses"] == []
+
+
 def test_max_steps_resume_is_noop(datadir, tmp_path):
     """Resuming a checkpoint at/past --max_steps must train zero extra steps
     (ADVICE round-3: the old check ran one step per resume)."""
