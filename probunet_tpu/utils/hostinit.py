@@ -21,6 +21,20 @@ import jax
 _checked = False
 
 
+def apply_platform_override() -> None:
+    """Honor ``PROBUNET_PLATFORM`` (e.g. ``cpu``) by updating ``jax_platforms``
+    BEFORE the first backend touch. Needed because this environment's
+    sitecustomize pre-selects the TPU platform in a way that overrides an
+    externally-set ``JAX_PLATFORMS`` env var (NOTES.md #2) — entry scripts
+    call this first so ``PROBUNET_PLATFORM=cpu python scripts/...`` reliably
+    runs on the host CPU."""
+    import os
+
+    plat = os.environ.get("PROBUNET_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def ensure_cpu_backend() -> bool:
     """Add 'cpu' to jax_platforms if the config still allows it. Call this
     before any computation / jax.devices() in a process that wants host init.

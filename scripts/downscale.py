@@ -15,6 +15,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from probunet_tpu.utils.hostinit import apply_platform_override
+
+# PROBUNET_PLATFORM=cpu forces the host backend (JAX_PLATFORMS is overridden
+# by this environment's sitecustomize); must run before any backend touch.
+apply_platform_override()
+
 from probunet_tpu.config import get_config
 from probunet_tpu.serve import downscale
 
