@@ -77,6 +77,11 @@ class Config:
     # multi-process stratified batch order exactly — the mechanism the
     # 2-process parity test uses (tests/test_multihost_e2e.py).
     data_shards: int = 0
+    # Background-assembly depth for the multi-host batch plan (how many steps
+    # of global-batch host assembly run ahead of the device); raise if the
+    # per-step assembly overhead shows up in profiles (BASELINE_MEASURED.md
+    # recorded ~4%/step at 128x128 with the default double buffering).
+    prefetch_buffer: int = 2
 
     # --- observability ---
     wandb: bool = False

@@ -423,12 +423,17 @@ class MultihostPlan:
 
     def batch_iter(self, hr_np: np.ndarray, batches: np.ndarray, stats_np=None,
                    timestamps_np: Optional[np.ndarray] = None,
-                   replicated_source: bool = False, buffer_size: int = 2):
+                   replicated_source: bool = False,
+                   buffer_size: Optional[int] = None):
         """Background-thread assembly of the epoch's global batches: item
         k+1's host slicing + global-array assembly overlaps the device
         compute of item k (the plan-mode counterpart of the streaming path's
-        DevicePrefetcher double buffering)."""
+        DevicePrefetcher double buffering). Depth defaults to
+        ``cfg.prefetch_buffer`` (assemble N-1 steps ahead)."""
         from probunet_tpu.data.pipeline import ThreadPrefetcher
+
+        if buffer_size is None:
+            buffer_size = int(getattr(self.cfg, "prefetch_buffer", 2) or 2)
 
         def gen():
             for bi in range(batches.shape[0]):

@@ -14,7 +14,7 @@ cross-process writer); all local chips are used.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
