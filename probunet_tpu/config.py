@@ -78,10 +78,10 @@ class Config:
     # 2-process parity test uses (tests/test_multihost_e2e.py).
     data_shards: int = 0
     # Background-assembly depth for the multi-host batch plan (how many steps
-    # of global-batch host assembly run ahead of the device); raise if the
-    # per-step assembly overhead shows up in profiles (BASELINE_MEASURED.md
-    # recorded ~4%/step at 128x128 with the default double buffering).
-    prefetch_buffer: int = 2
+    # of global-batch host assembly run ahead of the device). Measured at
+    # 128x128 b8 (scripts/plan_overhead.py): depth 2 = +4.1%/step over the
+    # device-resident gather path, depth 4 = +2.6% — hence the default.
+    prefetch_buffer: int = 4
 
     # --- observability ---
     wandb: bool = False
