@@ -5,5 +5,5 @@ from probunet_tpu.models.prob_unet import (  # noqa: F401
     Fcomb,
     ProbabilisticUNet,
 )
-from probunet_tpu.models.baselines import LinearCNN, bcsd  # noqa: F401
+from probunet_tpu.models.baselines import ConvVAE, LinearCNN, bcsd  # noqa: F401
 from probunet_tpu.models.edm import EDMPrecond  # noqa: F401

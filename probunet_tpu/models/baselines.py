@@ -93,3 +93,81 @@ def bcsd(
     clim_lr = den / cnt
     scale = clim_hr / (clim_lr + epsilon)
     return test_lrinterp * scale[test_doy]
+
+
+class ConvVAE(nn.Module):
+    """Conditional conv-VAE downscaler — the reference's ``vae`` ds_model
+    choice (trainmodel.py:33) which is DEAD there (baseline/main.py:47-54
+    never dispatches it and no VAE model exists), made live.
+
+    Same probabilistic surface as :class:`~probunet_tpu.models.ProbabilisticUNet`
+    (``elbo`` / ``sample`` / ``__call__`` with a ``latent`` rng collection), so
+    the entire prob-U-Net machinery — fused train step, seeded stochastic
+    eval, vmapped ensemble sampler, CRPS eval, serving — serves it unchanged.
+    The differences are the classic-VAE simplifications: a FIXED standard
+    normal prior (vs the learned prior network) and a light conv feature
+    stack (vs the ADM U-Net backbone); the posterior encoder reuses
+    AxisAlignedConvGaussian.
+    """
+
+    input_channels: int
+    num_classes: int
+    latent_dim: int = 6
+    num_filters: Tuple[int, ...] = (32, 64)
+    beta: float = 1.0
+    decoder_channels: int = 64
+
+    def setup(self):
+        from probunet_tpu.models.prob_unet import (AxisAlignedConvGaussian,
+                                                   Fcomb, _TorchConv)
+
+        self.posterior = AxisAlignedConvGaussian(
+            self.input_channels, tuple(self.num_filters), self.latent_dim,
+            posterior=True)
+        self.enc0 = _TorchConv(self.input_channels, self.decoder_channels, 3)
+        self.enc1 = _TorchConv(self.decoder_channels, self.decoder_channels, 3)
+        self.fcomb = Fcomb(self.decoder_channels, self.latent_dim,
+                           self.num_classes)
+
+    def _features(self, x: jax.Array) -> jax.Array:
+        return jax.nn.relu(self.enc1(jax.nn.relu(self.enc0(x))))
+
+    def _prior(self, batch: int):
+        from probunet_tpu.ops.distributions import DiagGaussian
+
+        zero = jnp.zeros((batch, self.latent_dim), jnp.float32)
+        return DiagGaussian(zero, zero)  # N(0, I)
+
+    def __call__(self, x, target=None, training: bool = True, *,
+                 train: bool = False) -> jax.Array:
+        features = self._features(x)
+        dist = (self.posterior(x, target) if training and target is not None
+                else self._prior(x.shape[0]))
+        z = dist.rsample(self.make_rng("latent"))
+        return self.fcomb(features, z)
+
+    def elbo(self, x, target, beta=None, *, train: bool = True):
+        """sum-MSE + beta * KL(q(z|x,y) || N(0,I)); fp32, (total, recon, kl)."""
+        from probunet_tpu.ops.distributions import kl_diag_gaussian
+
+        features = self._features(x)
+        posterior = self.posterior(x, target)
+        z = posterior.rsample(self.make_rng("latent"))
+        out = self.fcomb(features, z)
+        diff = out.astype(jnp.float32) - target.astype(jnp.float32)
+        recon = jnp.sum(jnp.square(diff))
+        kl = kl_diag_gaussian(posterior, self._prior(x.shape[0])).sum()
+        b = self.beta if beta is None else beta
+        return recon + b * kl, recon, kl
+
+    def sample(self, x, num_samples: int) -> jax.Array:
+        """K standard-normal draws, features computed once, decode folded into
+        the batch axis (the ProbabilisticUNet.sample idiom). (B, K, H, W, C)."""
+        features = self._features(x)
+        zs = self._prior(x.shape[0]).sample(self.make_rng("latent"), num_samples)
+        k = num_samples
+        b, h, w, c = features.shape
+        feats = jnp.broadcast_to(features[None], (k, b, h, w, c)).reshape(k * b, h, w, c)
+        outs = self.fcomb(feats, zs.reshape(k * b, -1))
+        outs = outs.reshape(k, b, h, w, self.num_classes)
+        return jnp.swapaxes(outs, 0, 1)

@@ -72,7 +72,16 @@ def load_datasets(cfg: Config) -> Dict[str, ClimexDataset]:
     return out
 
 
-def build_probunet(cfg: Config) -> ProbabilisticUNet:
+def build_probunet(cfg: Config):
+    """The probabilistic model for this config: the Probabilistic U-Net, or —
+    for ``ds_model=vae`` — the conditional conv-VAE baseline (same
+    elbo/sample surface, so every downstream consumer is shared)."""
+    if cfg.ds_model == "vae":
+        from probunet_tpu.models.baselines import ConvVAE
+        return ConvVAE(input_channels=cfg.nvars, num_classes=cfg.nvars,
+                       latent_dim=cfg.latent_dim,
+                       num_filters=tuple(cfg.num_filters),
+                       beta=cfg.beta, decoder_channels=cfg.baseline_channels)
     return ProbabilisticUNet(
         input_channels=cfg.nvars,
         num_classes=cfg.nvars,
@@ -126,6 +135,9 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # H-axis model parallelism for tiles beyond one chip's HBM ("2d" adds
         # data parallelism on a (data, space) mesh): the whole ELBO runs
         # inside a shard_map (halo convs, psum GN, sharded dropout).
+        if cfg.ds_model == "vae":
+            raise ValueError("ds_model=vae has no spatially-sharded kernels; "
+                             "use parallel_mode=data")
         from probunet_tpu.parallel.spatial_train import train_probunet_spatial
         return train_probunet_spatial(cfg, datasets, make_plots=make_plots)
     from probunet_tpu.parallel.multihost import make_plan
@@ -222,7 +234,8 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
     # exact sequence an uninterrupted run would have taken.
     nb_epoch = (plan.steps_per_epoch if plan is not None
                 else len(ds_train) // cfg.batch_size)
-    ckpt_dir = os.path.join(cfg.checkpoints_dir, "probunet")
+    ckpt_name = "probunet" if cfg.ds_model == "probabilistic_unet" else cfg.ds_model
+    ckpt_dir = os.path.join(cfg.checkpoints_dir, ckpt_name)
 
     tr_losses, val_losses = [], []
     global_step = resume_step
@@ -356,8 +369,7 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # called from ALL processes: orbax multi-process save coordinates via
         # its own cross-process barriers (primary-host writes internally) —
         # gating it to one process deadlocks the barrier
-        save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
-                        jax.device_get(state))
+        save_checkpoint(ckpt_dir, jax.device_get(state))
 
     if make_plots and primary:
         from probunet_tpu.viz import plot_loss_curves
@@ -654,6 +666,11 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         return run_bcsd(cfg, datasets)
     if cfg.ds_model == "edm":
         return train_edm(cfg, datasets, make_plots)
+    if cfg.ds_model == "vae":
+        # the conv-VAE shares the probabilistic (ELBO) surface, so it trains
+        # through the prob-U-Net loop (reference lists vae under the
+        # deterministic driver's choices but never dispatches it)
+        return train_probunet(cfg, datasets, make_plots)
 
     plan = make_plan(cfg, ds_train, mesh)
     model = build_baseline_model(cfg)
