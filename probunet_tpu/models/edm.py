@@ -31,6 +31,13 @@ class EDMPrecond(nn.Module):
     num_blocks: int = 2
     attn_resolutions: Tuple[int, ...] = (32, 16, 8)
     dropout: float = 0.10
+    # Threaded to the backbone UNet exactly as ProbabilisticUNet does
+    # (prob_unet.py:108-124): the reference's fp16 knob on this wrapper
+    # (networks.py:374) is the precision lever its dead code carries;
+    # fast_attention is the live bf16-QK^T analogue, and remat is what lets
+    # the 256x256 diffusion configuration train within HBM.
+    fast_attention: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -69,6 +76,8 @@ class EDMPrecond(nn.Module):
             attn_resolutions=self.attn_resolutions,
             dropout=self.dropout,
             use_diffuse=True,
+            fast_attention=self.fast_attention,
+            remat=self.remat,
             name="model",
         )
         f_x = model((c_in * in_img).astype(dtype), noise_labels=c_noise.flatten(),

@@ -67,6 +67,7 @@ def make_spatial_probunet_train_step(
     remat: bool = True,
     accum: int = 1,
     batch_axis_name: Optional[str] = None,
+    watch: bool = False,
 ):
     """Returns step(state, x, y, rng) -> (state, metrics) where x/y are
     H-sharded (B, H, W, C) standardized input/target batches.
@@ -125,6 +126,9 @@ def make_spatial_probunet_train_step(
         params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
         metrics = {"train_loss": total, "recon_loss": recon, "kl_div": kl, "beta": beta,
                    "grad_norm": optax.global_norm(grads)}
+        if watch:
+            from probunet_tpu.train.steps import _grad_leaf_norms
+            metrics.update(_grad_leaf_norms(grads))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -287,42 +291,57 @@ def _spatial_crps_metrics(cfg, sample_fn, params, ds_val, stats_val_np, mesh,
 
 def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     """Experiment driver for tiles beyond one chip's HBM: the height axis is
-    sharded across ALL devices (model parallelism), batches stream from host,
-    and every train/eval step is the shard_map'd ELBO. The counterpart of
+    sharded across ALL devices (model parallelism) and every train/eval step
+    is the shard_map'd ELBO. The counterpart of
     ``train.loop.train_probunet`` for ``--parallel_mode spatial``, with the
-    same feature surface: sampling plots every 2 epochs over the test split
-    (reference main.py:125-134) and optional ensemble CRPS eval, both decoded
-    through the H-sharded ensemble tail (:func:`make_spatial_sample_fn`).
+    same feature surface — the whole epoch lifecycle (ingest modes, exact
+    resume, --checkpoint_every/--max_steps/--watch_every, scheduled-β eval,
+    CRPS, plot cadence) comes from the shared engine
+    (:mod:`probunet_tpu.train.engine`), so this driver only contributes the
+    sharded step functions and the H-sharded ensemble tails.
+
+    Ingest: the default keeps the dataset tensor device-resident
+    (time-sharded across the mesh); ``--device_resident_data false`` streams
+    double-buffered host->device batches (the tiles-beyond-HBM mode). Either
+    way LR/HR pair synthesis runs in a jitted reshard
+    (``pair_item_fn``) whose outputs land on the (batch, space) layout the
+    shard_map'd ELBO expects.
 
     ``--parallel_mode 2d`` composes DATA parallelism on top: a
     (data, space) mesh (``--mesh_shape dp,-1``), batch sharded over ``data``,
     H over ``space`` — the pod-scale layout where spatial groups of sp chips
     each hold a batch shard and gradients all-reduce over the whole mesh.
     """
-    import os
-
     import numpy as np
 
     from probunet_tpu.data import transforms
-    from probunet_tpu.data.pipeline import compute_lr_stats_streaming
     from probunet_tpu.parallel import make_mesh
-    from probunet_tpu.train.checkpoint import save_checkpoint
-    from probunet_tpu.train.loop import build_probunet, init_probunet_state, load_datasets
-    from probunet_tpu.train.state import make_optimizer
+    from probunet_tpu.parallel.multihost import make_plan, process_info
+    from probunet_tpu.train.engine import EngineFns, EngineSpec, run_training
+    from probunet_tpu.train.loop import build_probunet, init_probunet_state
     from probunet_tpu.train.steps import beta_schedule
-    from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
-
-    from probunet_tpu.parallel.multihost import make_plan, require_single_process
 
     axis = "space"
     two_d = cfg.parallel_mode == "2d"
+    _, pc = process_info()
     if not two_d:
-        # pure H-sharding has no batch axis to shard across processes
-        require_single_process("the spatial driver (parallel_mode=spatial)", cfg)
+        # pure H-sharding has no batch axis to shard across processes; the
+        # multi-process layout for spatial sharding IS the 2d mesh
+        if pc > 1:
+            raise NotImplementedError(
+                "pure --parallel_mode spatial is single-process (there is no "
+                "batch axis to shard across processes); for multi-process "
+                f"spatial sharding run --parallel_mode 2d --mesh_shape {pc},-1 "
+                "— one batch shard per process on the 'data' axis, H sharded "
+                "over the remaining devices")
+        if int(getattr(cfg, "data_shards", 0)) > 1:
+            raise ValueError(
+                "--data_shards applies to the multi-host batch plan, which "
+                "pure spatial mode has none of — use --parallel_mode 2d "
+                "--mesh_shape <shards>,-1")
     if two_d:
-        import jax as _jax
         shape = tuple(cfg.mesh_shape) if len(cfg.mesh_shape) == 2 else (2, -1)
-        nd = len(_jax.devices())
+        nd = len(jax.devices())
         fixed = [s for s in shape if s != -1]
         if nd < 2 or (fixed and nd % int(np.prod(fixed))):
             raise ValueError(
@@ -338,188 +357,106 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     else:
         mesh = make_mesh((-1,), (axis,))
         batch_axis = None
-    datasets = datasets or load_datasets(cfg)
-    ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    # 2d mode composes with the multi-host machinery: batch rows shard over
-    # the "data" axis (which spans the processes), H over "space" — the
-    # MultihostPlan assembles each step's global batch from per-process rows
-    # exactly as in the DP loops. None single-process (unless --data_shards).
-    plan = make_plan(cfg, ds_train, mesh) if two_d else None
-    if plan is not None and plan.pc > 1 and mesh.shape["data"] % plan.pc:
-        raise ValueError(
-            f"2d multi-process needs the data axis ({mesh.shape['data']}) to be "
-            f"a multiple of process_count ({plan.pc}) so each process owns "
-            "contiguous batch shards")
+
+    def build_plan(cfg, ds_train, mesh):
+        # 2d mode composes with the multi-host machinery: batch rows shard
+        # over the "data" axis (which spans the processes), H over "space" —
+        # the MultihostPlan assembles each step's global batch from
+        # per-process rows exactly as in the DP loops.
+        plan = make_plan(cfg, ds_train, mesh) if two_d else None
+        if plan is not None and plan.pc > 1 and mesh.shape["data"] % plan.pc:
+            raise ValueError(
+                f"2d multi-process needs the data axis ({mesh.shape['data']}) "
+                f"to be a multiple of process_count ({plan.pc}) so each "
+                "process owns contiguous batch shards")
+        return plan
 
     model = build_probunet(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
-                        state_dtype=cfg.opt_state_dtype)
-    state = init_probunet_state(cfg, model, tx)
-    resume_step = 0
-    if cfg.resume:
-        from probunet_tpu.train.checkpoint import restore_checkpoint
-        state = restore_checkpoint(cfg.resume, state)
-        resume_step = int(state.step)
-        print(f"resumed from {cfg.resume} at step {resume_step}")
-    state = (plan.put_state(state) if plan is not None
-             else jax.device_put(state, NamedSharding(mesh, P())))
-
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
-    step = make_spatial_probunet_train_step(model, tx, mesh, axis, beta_fn,
-                                            dtype, donate=cfg.donate_state,
-                                            remat=cfg.remat, accum=cfg.accum,
-                                            batch_axis_name=batch_axis)
-    eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype,
-                                     batch_axis_name=batch_axis)
-    sample_fn = make_spatial_sample_fn(model, mesh, axis, cfg.num_samples, dtype)
-    crps_sample_fn = None
-    if cfg.eval_crps:
-        # built once (a fresh jit per epoch would recompile — loop.py:146 rule)
-        crps_sample_fn = make_spatial_sample_fn(model, mesh, axis,
-                                                cfg.crps_samples, dtype)
-
-    # Host-resident data (the whole point of this mode); global stats streamed.
-    # Plan mode: the TRAIN stats are all-reduced across the year-sharded
-    # processes (plan.stats_np); val/test splits are replicated per process.
-    if plan is not None:
-        stats_np = plan.stats_np
-        stats_val_np = plan.split_stats(ds_val)
-        stats_test_np = plan.split_stats(ds_test)
-    else:
-        stats_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
-                                              cfg.standardization)
-        stats_val_np = compute_lr_stats_streaming(ds_val.hr_np, cfg.lowres_scale,
-                                                  cfg.standardization)
-        stats_test_np = compute_lr_stats_streaming(ds_test.hr_np, cfg.lowres_scale,
-                                                   cfg.standardization)
-    pair_fn = jax.jit(lambda hr, sl: transforms.make_pair(
-        hr, cfg.lowres_scale, cfg.standardization, sl))
-
-    def batch_xy(ds, idx, stats):
-        hr = jnp.asarray(ds.hr_np[idx])
-        sl = None
-        if stats is not None:
-            sl = transforms.slice_stats(
-                tuple(jnp.asarray(s) for s in stats), cfg.standardization,
-                jnp.asarray(idx))
-        pair = pair_fn(hr, sl)
-        return (put_spatial(pair["inputs"], mesh, axis, batch_axis),
-                put_spatial(pair["targets"], mesh, axis, batch_axis))
-
-    # Plan mode: pair synthesis runs ON the plan's global batch arrays
-    # (hr batch-sharded over "data", H replicated) and the jit reshards the
-    # outputs onto the (data, space) layout the shard_map'd ELBO expects.
+    accum = max(1, int(cfg.accum))
     xy_sh = NamedSharding(mesh, P(batch_axis, axis))
 
-    def _pair_from_item(hr, stats, idx):
-        hr = jnp.take(hr, idx, axis=0)
-        sl = transforms.slice_stats(stats, cfg.standardization, idx)
-        pair = transforms.make_pair(hr, cfg.lowres_scale, cfg.standardization, sl)
-        return pair["inputs"], pair["targets"]
+    def make_fns(ctx):
+        dtype = ctx.dtype
+        step = make_spatial_probunet_train_step(
+            model, ctx.tx, mesh, axis, beta_fn, dtype, donate=cfg.donate_state,
+            remat=cfg.remat, accum=cfg.accum, batch_axis_name=batch_axis,
+            watch=cfg.watch_every > 0)
+        eval_fn = make_spatial_eval_elbo(model, mesh, axis, dtype,
+                                         batch_axis_name=batch_axis)
+        sample_fn = make_spatial_sample_fn(model, mesh, axis, cfg.num_samples,
+                                           dtype)
+        crps_sample_fn = None
+        if cfg.eval_crps:
+            # built once (a fresh jit per epoch would recompile)
+            crps_sample_fn = make_spatial_sample_fn(model, mesh, axis,
+                                                    cfg.crps_samples, dtype)
 
-    pair_item_fn = jax.jit(_pair_from_item, out_shardings=(xy_sh, xy_sh))
+        # Pair synthesis as a jitted reshard: gather the batch rows (identity
+        # when the item already IS the batch), make the LR/HR pair, land the
+        # outputs on the (batch, space) layout the shard_map'd ELBO expects.
+        def _pair_from_item(hr, stats, idx):
+            hr = jnp.take(hr, idx, axis=0)
+            sl = transforms.slice_stats(stats, cfg.standardization, idx)
+            pair = transforms.make_pair(hr, cfg.lowres_scale,
+                                        cfg.standardization, sl)
+            return pair["inputs"], pair["targets"]
 
-    def plan_xy(item):
-        return pair_item_fn(item["hr"], item["stats"], item["idx"])
+        pair_item_fn = jax.jit(_pair_from_item, out_shardings=(xy_sh, xy_sh))
 
-    primary = plan is None or plan.is_primary
-    os.makedirs(cfg.plotdir, exist_ok=True)
-    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl")
-    logger = MetricLogger(metrics_path if primary else None,
-                          use_wandb=cfg.wandb and primary)
-    timer = StepTimer(cfg.profile_dir)
-    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
-    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
+        def train_call(state, item, rng):
+            x, y = pair_item_fn(item["hr"], item["stats"], item["idx"])
+            return step(state, x, y, rng)
 
-    # Exact resume, same mechanism as the DP loop: steps/epoch is constant, so
-    # the restored step counter determines (epoch, intra-epoch offset); the
-    # step's noise folds on state.step, so the continuation replays the exact
-    # sequence an uninterrupted run would have taken.
-    nb_epoch = (plan.steps_per_epoch if plan is not None
-                else len(ds_train) // cfg.batch_size)
-    tr_losses, val_losses = [], []
-    step_count = resume_step
-    for epoch in range(1, cfg.num_epochs + 1):
-        if step_count >= epoch * nb_epoch:
-            continue  # epoch fully covered by the resumed checkpoint
-        offset = step_count - (epoch - 1) * nb_epoch
-        running = []
-        timer.reset()
-        desc = f"Train(spatial) :: Epoch: {epoch}/{cfg.num_epochs}"
+        def eval_call(params, item, rng, beta):
+            x, y = pair_item_fn(item["hr"], item["stats"], item["idx"])
+            return eval_fn(params, x, y, rng, beta)
 
-        def after_step(metrics):
-            nonlocal step_count
-            step_count += 1
-            timer.tick(cfg.batch_size)
-            running.append(metrics["train_loss"])
-            if step_count % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["samples_per_sec"] = timer.rate()
-                logger.log(m, step=step_count)
+        # Host-numpy split stats for the CRPS/plot tails (they synthesize
+        # pairs from host data regardless of the training ingest mode).
+        def host_split_stats(ds):
+            if cfg.standardization == "none":
+                return None
+            if ctx.plan is not None:
+                return ctx.plan.split_stats(ds)
+            if ctx.streaming:
+                from probunet_tpu.data.pipeline import compute_lr_stats_streaming
+                return compute_lr_stats_streaming(ds.hr_np, cfg.lowres_scale,
+                                                  cfg.standardization)
+            return tuple(np.asarray(s) for s in ds.stats)
 
-        if plan is not None:
-            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
-            it = plan.batch_iter(ds_train.hr_np, batches, stats_np)
-            for item in progress(it, desc=desc, total=batches.shape[0]):
-                x, y = plan_xy(item)
-                state, metrics = step(state, x, y, rng)
-                after_step(metrics)
-        else:
-            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(offset, batches.shape[0]), desc=desc):
-                x, y = batch_xy(ds_train, batches[bi], stats_np)
-                state, metrics = step(state, x, y, rng)
-                after_step(metrics)
-        tr_losses.append(float(jnp.mean(jnp.stack(running))) if running
-                         else float("nan"))
+        multiprocess = ctx.plan is not None and ctx.plan.pc > 1
+        ds_val, ds_test = ctx.datasets["val"], ctx.datasets["test"]
+        stats_val_np = host_split_stats(ds_val)
+        stats_test_np = host_split_stats(ds_test)
 
-        vloss = []
-        if plan is not None:
-            vbatches = plan.replicated_batches(len(ds_val))
-            for bi in range(vbatches.shape[0]):
-                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                         replicated_source=True)
-                x, y = plan_xy(item)
-                m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
-                            jnp.float32(cfg.beta))
-                vloss.append(m["val_loss"])
-        else:
-            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-            for bi in range(vbatches.shape[0]):
-                x, y = batch_xy(ds_val, vbatches[bi], stats_val_np)
-                m = eval_fn(state.params, x, y, jax.random.fold_in(eval_rng, bi),
-                            jnp.float32(cfg.beta))
-                vloss.append(m["val_loss"])
-        val_losses.append(float(jnp.mean(jnp.stack(vloss))))
-        logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
-                    "val_loss": val_losses[-1]}, step=step_count)
-
-        # ---- optional ensemble CRPS on the val split (DP-loop contract);
-        # the sharded sampler contains mesh collectives, so in plan mode it
-        # runs on ALL processes (identical values) and only the primary logs ----
-        if crps_sample_fn is not None:
-            crps_metrics = _spatial_crps_metrics(
+        def crps_epoch_fn(state, eval_rng):
+            # the sharded sampler contains mesh collectives, so in plan mode
+            # it runs on ALL processes (identical values); primary logs
+            return _spatial_crps_metrics(
                 cfg, crps_sample_fn, state.params, ds_val, stats_val_np,
                 mesh, axis, eval_rng,
                 max_batches=cfg.crps_eval_batches or None,
-                multiprocess=plan is not None and plan.pc > 1)
-            logger.log(crps_metrics, step=step_count)
+                multiprocess=multiprocess)
 
-        # ---- sampling plots every 2 epochs over the test split
-        # (reference main.py:125-134, same cadence as the DP loop) ----
-        if make_plots and epoch % 2 == 0:
+        def plot_fn(state, epoch):
             _plot_spatial_samples(cfg, sample_fn, state.params, ds_test,
                                   stats_test_np, mesh, axis, epoch,
-                                  write=primary,
-                                  multiprocess=plan is not None and plan.pc > 1)
+                                  write=ctx.primary, multiprocess=multiprocess)
 
-        # all processes: orbax coordinates multi-process saves itself
-        save_checkpoint(os.path.join(cfg.checkpoints_dir, "probunet"),
-                        jax.device_get(state))
-    logger.close()
-    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses,
-            "samples_per_sec": timer.rate()}
+        return EngineFns(
+            train_call=train_call, eval_call=eval_call,
+            eval_beta_fn=lambda gs: beta_fn(jnp.asarray(gs, jnp.int32) // accum),
+            crps_epoch_fn=crps_epoch_fn if crps_sample_fn is not None else None,
+            plot_fn=plot_fn)
+
+    spec = EngineSpec(
+        name="probunet", metrics_filename="metrics.jsonl",
+        init_state=lambda tx: init_probunet_state(cfg, model, tx),
+        make_fns=make_fns, desc="Train(spatial)", rng_offset=1,
+        build_mesh=lambda cfg: mesh, build_plan=build_plan,
+        loss_curve="loss.png")
+    return run_training(cfg, spec, datasets, make_plots)
 
 
 def make_spatial_eval_elbo(model, mesh, axis_name: str = "space",

@@ -7,8 +7,19 @@ mesh, and write physical-unit HR ensembles back out as netCDF-4 — one dataset
 per variable shaped (time, member, rlat, rlon) — ready for downstream climate
 tooling. Writes stream chunk-by-chunk (StreamingFieldWriter) overlapped with
 the next batch's device compute, so host memory stays O(batch) even for
-century-scale ensembles. Single-process (multi-host serving would need a
-cross-process writer); all local chips are used.
+century-scale ensembles.
+
+Multi-process (``jax.distributed``): the global batch list is partitioned
+into contiguous ranges, one per process; each process runs its range on its
+OWN local-device mesh (no cross-process collectives in the sampling path —
+ensemble generation is embarrassingly parallel over time) and streams its
+time slice to a part file; the primary then merges the parts into the final
+file (chunked copy, still O(chunk) host memory). Every process evaluates the
+same dataset/statistics and folds the sampling RNG on the GLOBAL batch
+index, so the merged output is byte-identical to a single-process run of the
+same checkpoint (tests/test_multihost_e2e.py). Compute — the expensive side
+of K-member ensemble sampling — scales linearly with processes; ingest is
+replicated (each process reads the year range once).
 """
 
 from __future__ import annotations
@@ -30,6 +41,14 @@ from probunet_tpu.train.state import make_optimizer
 from probunet_tpu.utils.logging import progress
 
 
+def _batch_range(nb: int, pi: int, pc: int):
+    """Contiguous [lo, hi) batch-index range owned by process ``pi`` (sizes
+    differ by at most 1, same partition rule as multihost.shard_years)."""
+    base, rem = divmod(nb, pc)
+    lo = pi * base + min(pi, rem)
+    return lo, lo + base + (1 if pi < rem else 0)
+
+
 def downscale(
     cfg: Config,
     checkpoint_dir: str,
@@ -44,6 +63,9 @@ def downscale(
 
     Returns the written path. Output per variable: (T, K, H, W) physical-unit
     HR fields (the residual->HR inverse applied on device)."""
+    from probunet_tpu.parallel.multihost import allgather_counts, process_info
+
+    pi, pc = process_info()
     years = list(years if years is not None else cfg.years("test"))
     num_samples = num_samples or cfg.num_samples
     batch_size = batch_size or cfg.batch_size
@@ -72,11 +94,12 @@ def downscale(
                                    num_samples, dtype)
     state = restore_checkpoint(checkpoint_dir, template)
 
-    # Sampling runs data-parallel over the whole local mesh (params
+    # Sampling runs data-parallel over this process's LOCAL mesh (params
     # replicated, dataset tensor time-sharded, per-batch indices sharded when
-    # divisible) — the same residency policy as the training loops.
+    # divisible) — no cross-process collectives: each process owns a disjoint
+    # time range, so multi-process scaling is pure fan-out.
     from probunet_tpu.parallel import make_mesh, put_batch, put_replicated
-    mesh = make_mesh((-1,), ("data",))
+    mesh = make_mesh((-1,), ("data",), devices=jax.local_devices())
     nd = mesh.devices.size
     params = put_replicated(state.params, mesh)
     hr_np = ds.hr_np
@@ -90,26 +113,63 @@ def downscale(
     rng = jax.random.key(seed)
 
     batches = ds.epoch_indices(0, batch_size, shuffle=False, drop_remainder=False)
+    nb = batches.shape[0]
+    lo_b, hi_b = _batch_range(nb, pi, pc)
     n, h, w = len(ds), hr_np.shape[1], hr_np.shape[2]
-    shapes = {var: (n, num_samples, h, w) for var in cfg.variables}
+    t_lo = lo_b * batch_size
+    t_hi = min(n, hi_b * batch_size)
+    my_path = out_path if pc == 1 else f"{out_path}.part{pi}"
+    attrs = {"source": "probunet_tpu ensemble downscaling",
+             "members": str(num_samples)}
+    shapes = {var: (t_hi - t_lo, num_samples, h, w) for var in cfg.variables}
     # Chunked streaming writes: each batch's (b, K, H, W, C) ensemble is
     # fetched and appended while the NEXT batch computes on device (the
     # one-deep pipeline below), so host memory stays O(batch), not O(T).
-    with StreamingFieldWriter(out_path, shapes, ds.timestamps_np,
-                              lat=ds.lat, lon=ds.lon,
-                              attrs={"source": "probunet_tpu ensemble downscaling",
-                                     "members": str(num_samples)}) as writer:
+    with StreamingFieldWriter(my_path, shapes, ds.timestamps_np[t_lo:t_hi],
+                              lat=ds.lat, lon=ds.lon, attrs=attrs) as writer:
         pending = None  # (t0, rows_to_keep, device_preds)
-        for bi in progress(range(batches.shape[0]), desc="Downscaling"):
+        for bi in progress(range(lo_b, hi_b), desc="Downscaling"):
             idx = put_idx(jnp.asarray(batches[bi]))
+            # RNG folds on the GLOBAL batch index, so the multi-process
+            # output equals the single-process run draw-for-draw
             preds, _ = sample_fn(params, hr_all, stats, idx,
                                  jax.random.fold_in(rng, bi))  # async dispatch
             if pending is not None:
                 _write_chunk(writer, cfg.variables, *pending)
-            pending = (bi * batch_size, min(batch_size, n - bi * batch_size), preds)
+            pending = (bi * batch_size - t_lo,
+                       min(batch_size, n - bi * batch_size), preds)
         if pending is not None:
             _write_chunk(writer, cfg.variables, *pending)
+
+    if pc > 1:
+        allgather_counts(1)  # barrier: every part file is closed
+        if pi == 0:
+            part_offsets = [(_batch_range(nb, p, pc)[0] * batch_size,
+                             f"{out_path}.part{p}") for p in range(pc)]
+            _merge_parts(out_path, part_offsets, cfg.variables,
+                         {var: (n, num_samples, h, w) for var in cfg.variables},
+                         ds.timestamps_np, ds.lat, ds.lon, attrs)
+        allgather_counts(2)  # barrier: merged file visible before any return
+        if pi == 0:
+            for _, part in part_offsets:
+                os.remove(part)
     return out_path
+
+
+def _merge_parts(out_path, part_offsets, variables, shapes, timestamps,
+                 lat, lon, attrs, chunk: int = 64) -> None:
+    """Primary-process merge: stream every part's per-variable datasets into
+    the final full-range file, chunk by chunk (host memory stays O(chunk))."""
+    import h5py
+
+    with StreamingFieldWriter(out_path, shapes, timestamps, lat=lat, lon=lon,
+                              attrs=attrs) as writer:
+        for t0, part in part_offsets:
+            with h5py.File(part, "r") as f:
+                nt = f[variables[0]].shape[0] if variables else 0
+                for lo in range(0, nt, chunk):
+                    fields = {var: f[var][lo:lo + chunk] for var in variables}
+                    writer.append(fields, t0 + lo)
 
 
 def _write_chunk(writer: StreamingFieldWriter, variables, t0: int, take: int,

@@ -1,10 +1,19 @@
-"""End-to-end experiment drivers (reference main.py / baseline/main.py).
+"""Experiment drivers (reference main.py / baseline/main.py), as thin
+configurations of the shared training engine.
 
-``train_probunet``: build datasets -> ProbabilisticUNet -> epoch loop of
-fused train steps -> seeded stochastic eval -> ensemble sampling plots every
-2 epochs -> loss curves + checkpoints. ``train_baseline``: the deterministic
-U-Net / LinearCNN / BCSD driver with per-variable losses and final
-physical-unit MAE (baseline/main.py:112-115).
+``train_probunet``: datasets -> ProbabilisticUNet -> epoch loop of fused
+train steps -> seeded stochastic eval -> ensemble sampling plots every 2
+epochs -> loss curves + checkpoints (reference main.py:101-145).
+``train_edm``: the same surface for the diffusion downscaler (the
+reference's dead EDMPrecond made live). ``train_baseline``: the
+deterministic U-Net / LinearCNN / BCSD driver with per-variable losses and
+final physical-unit MAE (baseline/main.py:112-115).
+
+The epoch loop itself — ingest-mode selection, logging/watch/checkpoint
+cadences, max_steps, exact resume, eval/CRPS/plot scheduling — lives ONCE in
+:mod:`probunet_tpu.train.engine`; each driver here contributes only its model
+builder, fused step functions and plotting/final tails, so every lifecycle
+flag works identically across all drivers (tests/test_engine_matrix.py).
 
 All device work is data-parallel over the configured mesh; the loops only
 move O(batch) index vectors per step — the dataset tensor lives in HBM.
@@ -13,7 +22,6 @@ move O(batch) index vectors per step — the dataset tensor lives in HBM.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, Optional
 
 import jax
@@ -23,7 +31,7 @@ import numpy as np
 from probunet_tpu.config import Config
 from probunet_tpu.data.dataset import ClimexDataset
 from probunet_tpu.models import LinearCNN, ProbabilisticUNet, UNet
-from probunet_tpu.parallel import make_mesh, put_batch, put_replicated
+from probunet_tpu.parallel import put_replicated
 from probunet_tpu.train import (
     beta_schedule,
     create_train_state,
@@ -33,43 +41,16 @@ from probunet_tpu.train import (
     make_probunet_train_step,
     make_sample_fn,
 )
-from probunet_tpu.train.checkpoint import save_checkpoint
-from probunet_tpu.train.state import make_optimizer
-from probunet_tpu.utils.logging import MetricLogger, StepTimer, progress
+from probunet_tpu.train.engine import (
+    EngineFns,
+    EngineSpec,
+    load_datasets,  # noqa: F401  (public API, used by tests/scripts)
+    run_training,
+)
 
 
 def _compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-
-
-def _crps_batches(cfg: Config, n_val_batches: int) -> int:
-    """How many val batches the per-epoch CRPS eval covers: the FULL split by
-    default; ``--crps_eval_batches N`` bounds the cost for huge splits. The
-    count is always logged (crps_batches_evaluated) so a truncated metric can
-    never masquerade as the split metric."""
-    if cfg.crps_eval_batches:
-        return min(n_val_batches, int(cfg.crps_eval_batches))
-    return n_val_batches
-
-
-def load_datasets(cfg: Config) -> Dict[str, ClimexDataset]:
-    """Build the three split datasets. Multi-host: each process ingests only
-    its contiguous shard of the TRAIN years (per-host file sharding, the dask
-    role in reference main.py:12); val/test stay replicated so every process
-    evaluates the same data."""
-    from probunet_tpu.parallel.multihost import process_info, shard_years
-
-    pi, pc = process_info()
-    out = {}
-    for split in ("train", "val", "test"):
-        years = cfg.years(split)
-        if split == "train" and pc > 1:
-            years = shard_years(years, pi, pc)
-        out[split] = ClimexDataset(
-            cfg.datadir, years=years, variables=cfg.variables,
-            coords=cfg.coords, lowres_scale=cfg.lowres_scale,
-            time_transform=cfg.timetransform, standardization=cfg.standardization)
-    return out
 
 
 def build_probunet(cfg: Config):
@@ -140,243 +121,60 @@ def train_probunet(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
                              "use parallel_mode=data")
         from probunet_tpu.parallel.spatial_train import train_probunet_spatial
         return train_probunet_spatial(cfg, datasets, make_plots=make_plots)
-    from probunet_tpu.parallel.multihost import make_plan
-
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    datasets = datasets or load_datasets(cfg)
-    ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
-    # Lockstep multi-process plan (global stats + stratified global batches);
-    # None on a plain single-host run.
-    plan = make_plan(cfg, ds_train, mesh)
 
     model = build_probunet(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
-                        state_dtype=cfg.opt_state_dtype)
-    state = init_probunet_state(cfg, model, tx)
-    resume_step = 0
-    if cfg.resume:
-        from probunet_tpu.train.checkpoint import restore_checkpoint
-        state = restore_checkpoint(cfg.resume, state)
-        resume_step = int(state.step)
-        print(f"resumed from {cfg.resume} at step {resume_step}")
-    state = plan.put_state(state) if plan else put_replicated(state, mesh)
-    if cfg.max_steps and resume_step >= cfg.max_steps:
-        # finished step-bounded run: resuming must be a pure no-op (no extra
-        # step, no new checkpoint) — same semantics as the epoch-bounded case
-        print(f"max_steps={cfg.max_steps} already reached at resume "
-              f"(step {resume_step}); nothing to do")
-        return {"state": state, "tr_losses": [], "val_losses": [],
-                "samples_per_sec": 0.0}
-
     dtype = _compute_dtype(cfg)
     beta_fn = beta_schedule(cfg.beta_schedule, cfg.beta, cfg.beta_warmup_steps)
-    train_step = make_probunet_train_step(model, tx, cfg.lowres_scale,
-                                          cfg.standardization, beta_fn, dtype,
-                                          donate=cfg.donate_state, accum=cfg.accum,
-                                          watch=cfg.watch_every > 0)
-    eval_step = make_probunet_eval_step(model, cfg.lowres_scale, cfg.standardization, dtype)
-    sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
-                               cfg.num_samples, dtype)
-    crps_fn = None
-    if cfg.eval_crps:
-        # Built ONCE here: constructing it inside the epoch loop would create a
-        # fresh jax.jit instance (and a full recompile) every epoch.
-        from probunet_tpu.train import make_crps_eval_fn
-        crps_fn = make_crps_eval_fn(model, cfg.lowres_scale, cfg.standardization,
-                                    cfg.variables, cfg.crps_samples, dtype)
+    accum = max(1, int(cfg.accum))
 
-    # Device residency: dataset tensors + stats put once. The HR tensor is
-    # time-sharded across the mesh when divisible (zero host memory growth),
-    # else replicated; batch indices are sharded when batch % n_devices == 0.
-    nd = mesh.devices.size
-    def put_data(a):
-        if nd > 1 and a.shape[0] % nd == 0:
-            return put_batch(a, mesh)
-        return put_replicated(a, mesh)
-    def put_idx(idx):
-        return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    streaming = (not cfg.device_resident_data) and plan is None
-    if plan is not None:
-        # Multi-process: every step's global batch is assembled from this
-        # process's local rows; the val split is replicated per process.
-        stats_val_np = plan.split_stats(ds_val)
-        hr_train = stats_train = hr_val = stats_val = None
-    elif streaming:
-        # Host-resident dataset; batches stream to HBM double-buffered,
-        # already laid out on the mesh's batch sharding (no reshard in-step).
-        from probunet_tpu.data.pipeline import compute_lr_stats_streaming
-        stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
-                                                    cfg.standardization)
-        hr_val = put_data(ds_val.hr_device())
-        stats_val = put_replicated(ds_val.stats, mesh)
-        hr_train = stats_train = None
-    else:
-        hr_train = put_data(ds_train.hr_device())
-        hr_val = put_data(ds_val.hr_device())
-        stats_train = put_replicated(ds_train.stats, mesh)
-        stats_val = put_replicated(ds_val.stats, mesh)
+    def make_fns(ctx):
+        train_step = make_probunet_train_step(
+            model, ctx.tx, cfg.lowres_scale, cfg.standardization, beta_fn, dtype,
+            donate=cfg.donate_state, accum=cfg.accum, watch=cfg.watch_every > 0)
+        eval_step = make_probunet_eval_step(model, cfg.lowres_scale,
+                                            cfg.standardization, dtype)
+        sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
+                                   cfg.num_samples, dtype)
+        crps_fn = None
+        if cfg.eval_crps:
+            # Built ONCE here: constructing it inside the epoch loop would
+            # create a fresh jax.jit instance (a full recompile) every epoch.
+            from probunet_tpu.train import make_crps_eval_fn
+            crps_fn = make_crps_eval_fn(model, cfg.lowres_scale,
+                                        cfg.standardization, cfg.variables,
+                                        cfg.crps_samples, dtype)
 
-    primary = plan is None or plan.is_primary
-    os.makedirs(cfg.plotdir, exist_ok=True)
-    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics.jsonl")
-    logger = MetricLogger(metrics_path if primary else None,
-                          use_wandb=cfg.wandb and primary,
-                          wandb_config=vars(cfg) if hasattr(cfg, "__dict__") else None)
-    timer = StepTimer(cfg.profile_dir)
-    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
-    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
+        def train_call(state, item, rng):
+            return train_step(state, item["hr"], item["stats"], item["idx"], rng)
 
-    # Steps per epoch is constant across epochs (drop_remainder everywhere),
-    # which makes exact mid-epoch resume a pure function of the restored step
-    # counter: epoch = step // nb + 1, intra-epoch offset = step % nb — the
-    # batch permutations are functions of (seed, epoch) and the step's noise
-    # comes from fold_in(rng, state.step), so the continuation replays the
-    # exact sequence an uninterrupted run would have taken.
-    nb_epoch = (plan.steps_per_epoch if plan is not None
-                else len(ds_train) // cfg.batch_size)
+        def eval_call(params, item, rng, beta):
+            return eval_step(params, item["hr"], item["stats"], item["idx"],
+                             rng, beta)
+
+        def crps_call(params, item, rng):
+            return crps_fn(params, item["hr"], item["stats"], item["idx"], rng)
+
+        def plot_fn(state, epoch):
+            _plot_probunet_samples(cfg, model, state, ctx.datasets["test"],
+                                   sample_fn, ctx.mesh, epoch, plan=ctx.plan)
+
+        return EngineFns(
+            train_call=train_call,
+            eval_call=eval_call,
+            # eval at the SCHEDULED β so annealed runs (--beta_schedule
+            # linear/cyclic) log train/val ELBOs computed at the same KL weight
+            eval_beta_fn=lambda gs: beta_fn(jnp.asarray(gs, jnp.int32) // accum),
+            crps_call=crps_call if crps_fn is not None else None,
+            plot_fn=plot_fn,
+        )
+
     ckpt_name = "probunet" if cfg.ds_model == "probabilistic_unet" else cfg.ds_model
-    ckpt_dir = os.path.join(cfg.checkpoints_dir, ckpt_name)
-
-    tr_losses, val_losses = [], []
-    global_step = resume_step
-    stopped = False
-    for epoch in range(1, cfg.num_epochs + 1):
-        if global_step >= epoch * nb_epoch:
-            continue  # epoch fully covered by the resumed checkpoint
-        offset = global_step - (epoch - 1) * nb_epoch
-        desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
-
-        # ---- train: one fused XLA program per step, dispatched async (the
-        # scanned-epoch variant exists but carrying 1.2 GB of opt state through
-        # lax.scan costs more than per-step dispatch on this runtime) ----
-        running = []
-        timer.reset()
-
-        def after_step(metrics):
-            """Shared per-step bookkeeping: logging, periodic checkpoints,
-            max_steps stop. Returns True when the run must stop."""
-            nonlocal global_step
-            global_step += 1
-            timer.tick(cfg.batch_size)
-            running.append(metrics["train_loss"])
-            if global_step % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()
-                     if not k.startswith("gradnorm/")}
-                m["samples_per_sec"] = timer.rate()
-                logger.log(m, step=global_step)
-            if cfg.watch_every and global_step % cfg.watch_every == 0:
-                # wandb.watch parity: per-layer grad norms + param histograms
-                logger.log({k: float(v) for k, v in metrics.items()
-                            if k.startswith("gradnorm/")}, step=global_step)
-                logger.log_param_histograms(state.params, step=global_step)
-            if cfg.checkpoint_every and global_step % cfg.checkpoint_every == 0:
-                save_checkpoint(ckpt_dir, jax.device_get(state))
-            return bool(cfg.max_steps) and global_step >= cfg.max_steps
-
-        if plan is not None:
-            # Lockstep multi-process epoch: every process computes the same
-            # global batch plan and contributes its local rows of each batch;
-            # assembly runs in a background thread (double-buffered).
-            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
-            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
-            for item in progress(it, desc=desc, total=batches.shape[0]):
-                state, metrics = train_step(state, item["hr"], item["stats"],
-                                            item["idx"], rng)
-                if after_step(metrics):
-                    stopped = True
-                    break
-        elif streaming:
-            from probunet_tpu.data.pipeline import stream_batches
-            from probunet_tpu.parallel import batch_sharding, replicated
-            # batch sharding only when divisible (same rule as put_idx)
-            bsh = (batch_sharding(mesh) if cfg.batch_size % nd == 0
-                   else replicated(mesh))
-            it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
-                                stats_train_np, cfg.standardization,
-                                sharding=bsh,
-                                replicated_sharding=replicated(mesh),
-                                start_batch=offset)
-            arange = put_idx(jnp.arange(cfg.batch_size))
-            for item in progress(it, desc=desc, total=nb_epoch - offset):
-                state, metrics = train_step(state, item["hr"], item.get("stats"), arange, rng)
-                if after_step(metrics):
-                    stopped = True
-                    break
-        else:
-            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(offset, batches.shape[0]), desc=desc):
-                idx = put_idx(jnp.asarray(batches[bi]))
-                state, metrics = train_step(state, hr_train, stats_train, idx, rng)
-                if after_step(metrics):
-                    stopped = True
-                    break
-        epoch_tr = float(jnp.mean(jnp.stack(running))) if running else float("nan")
-        tr_losses.append(epoch_tr)
-        if stopped:
-            # max_steps interrupt: checkpoint the exact position and leave;
-            # the next --resume run continues with the identical sequence
-            save_checkpoint(ckpt_dir, jax.device_get(state))
-            break
-
-        # ---- eval (stochastic, seeded; reference eval_probunet_model) ----
-        vloss = []
-        if plan is not None:
-            vbatches = plan.replicated_batches(len(ds_val))
-            for bi in range(vbatches.shape[0]):
-                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                         replicated_source=True)
-                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
-                              jax.random.fold_in(eval_rng, bi), np.float32(cfg.beta))
-                vloss.append(m["val_loss"])
-        else:
-            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-            for bi in range(vbatches.shape[0]):
-                idx = put_idx(jnp.asarray(vbatches[bi]))
-                m = eval_step(state.params, hr_val, stats_val, idx,
-                              jax.random.fold_in(eval_rng, bi), jnp.float32(cfg.beta))
-                vloss.append(m["val_loss"])
-        epoch_val = float(jnp.mean(jnp.stack(vloss)))
-        val_losses.append(epoch_val)
-        logger.log({"epoch": epoch, "epoch_train_loss": epoch_tr, "val_loss": epoch_val},
-                   step=global_step)
-
-        # ---- optional ensemble CRPS in physical units (reference defines
-        # crps_empirical but never wires it; BASELINE config #3) ----
-        if crps_fn is not None:
-            acc = {}
-            nb_crps = _crps_batches(cfg, vbatches.shape[0])
-            for bi in range(nb_crps):
-                rng_b = jax.random.fold_in(eval_rng, 10_000 + bi)
-                if plan is not None:
-                    item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                             replicated_source=True)
-                    m = crps_fn(state.params, item["hr"], item["stats"],
-                                item["idx"], rng_b)
-                else:
-                    idx = put_idx(jnp.asarray(vbatches[bi]))
-                    m = crps_fn(state.params, hr_val, stats_val, idx, rng_b)
-                for k, v in m.items():
-                    acc.setdefault(k, []).append(float(v))
-            crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
-            crps_metrics["crps_batches_evaluated"] = nb_crps
-            logger.log(crps_metrics, step=global_step)
-
-        # ---- sample + plot every 2 epochs (reference main.py:125-134) ----
-        if make_plots and epoch % 2 == 0:
-            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
-                                   plan=plan)
-
-        # called from ALL processes: orbax multi-process save coordinates via
-        # its own cross-process barriers (primary-host writes internally) —
-        # gating it to one process deadlocks the barrier
-        save_checkpoint(ckpt_dir, jax.device_get(state))
-
-    if make_plots and primary:
-        from probunet_tpu.viz import plot_loss_curves
-        plot_loss_curves(tr_losses, val_losses, os.path.join(cfg.plotdir, "loss.png"))
-    logger.close()
-    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses,
-            "samples_per_sec": timer.rate()}
+    spec = EngineSpec(
+        name=ckpt_name, metrics_filename="metrics.jsonl",
+        init_state=lambda tx: init_probunet_state(cfg, model, tx),
+        make_fns=make_fns, desc="Train", rng_offset=1,
+        wandb_config=True, loss_curve="loss.png")
+    return run_training(cfg, spec, datasets, make_plots)
 
 
 def _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
@@ -424,7 +222,9 @@ def build_edm_model(cfg: Config):
     """EDM-preconditioned diffusion downscaler (the reference ships
     EDMPrecond dead, networks.py:339-389; ds_model="edm" trains it). The
     denoiser UNet sees the noisy residual channel-concatenated with the
-    LR-interp conditioning image."""
+    LR-interp conditioning image. ``fast_attention``/``remat`` thread through
+    to the backbone exactly as in the prob-U-Net (remat is what makes
+    256x256 EDM training fit in HBM)."""
     from probunet_tpu.models import EDMPrecond
 
     return EDMPrecond(
@@ -435,7 +235,9 @@ def build_edm_model(cfg: Config):
         channel_mult=tuple(cfg.channel_mult),
         num_blocks=cfg.num_blocks,
         attn_resolutions=tuple(cfg.attn_resolutions),
-        dropout=cfg.dropout)
+        dropout=cfg.dropout,
+        fast_attention=cfg.fast_attention,
+        remat=cfg.remat)
 
 
 def init_edm_state(cfg: Config, model, tx):
@@ -471,167 +273,56 @@ def train_edm(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
     Heun-sampled ensembles for the every-2-epochs plots (same contract as the
     prob-U-Net loop), checkpoints. Completes the 'make the dead code live'
     story for the reference's unused EDMPrecond."""
-    from probunet_tpu.parallel.multihost import make_plan
     from probunet_tpu.train import (make_edm_crps_eval_fn, make_edm_eval_step,
                                     make_edm_sample_fn, make_edm_train_step)
 
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    datasets = datasets or load_datasets(cfg)
-    ds_train, ds_val, ds_test = datasets["train"], datasets["val"], datasets["test"]
-    dtype = _compute_dtype(cfg)
-    # Lockstep multi-process plan (global stats + stratified global batches),
-    # exactly as in train_probunet — the EDM step shares its signature, so the
-    # DP multi-host machinery serves the diffusion driver unchanged.
-    plan = make_plan(cfg, ds_train, mesh)
-
     model = build_edm_model(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
-                        state_dtype=cfg.opt_state_dtype)
-    state = init_edm_state(cfg, model, tx)
-    resume_step = 0
-    if cfg.resume:
-        from probunet_tpu.train.checkpoint import restore_checkpoint
-        state = restore_checkpoint(cfg.resume, state)
-        resume_step = int(state.step)
-        print(f"resumed from {cfg.resume} at step {resume_step}")
-    state = plan.put_state(state) if plan else put_replicated(state, mesh)
+    dtype = _compute_dtype(cfg)
 
-    train_step = make_edm_train_step(model, tx, cfg.lowres_scale, cfg.standardization,
-                                     compute_dtype=dtype, donate=cfg.donate_state)
-    eval_step = make_edm_eval_step(model, cfg.lowres_scale, cfg.standardization,
-                                   compute_dtype=dtype)
-    sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
-                                   cfg.num_samples, cfg.edm_steps,
-                                   compute_dtype=dtype)
-    crps_fn = None
-    if cfg.eval_crps:
-        # built once (fresh jit per epoch = recompile; loop.py:146 rule)
-        crps_fn = make_edm_crps_eval_fn(model, cfg.lowres_scale,
-                                        cfg.standardization, cfg.variables,
-                                        cfg.crps_samples, cfg.edm_steps,
-                                        compute_dtype=dtype)
+    def make_fns(ctx):
+        train_step = make_edm_train_step(model, ctx.tx, cfg.lowres_scale,
+                                         cfg.standardization, compute_dtype=dtype,
+                                         donate=cfg.donate_state,
+                                         watch=cfg.watch_every > 0)
+        eval_step = make_edm_eval_step(model, cfg.lowres_scale,
+                                       cfg.standardization, compute_dtype=dtype)
+        sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
+                                       cfg.num_samples, cfg.edm_steps,
+                                       compute_dtype=dtype)
+        crps_fn = None
+        if cfg.eval_crps:
+            # built once (fresh jit per epoch = recompile)
+            crps_fn = make_edm_crps_eval_fn(model, cfg.lowres_scale,
+                                            cfg.standardization, cfg.variables,
+                                            cfg.crps_samples, cfg.edm_steps,
+                                            compute_dtype=dtype)
 
-    nd = mesh.devices.size
-    def put_data(a):
-        if nd > 1 and a.shape[0] % nd == 0:
-            return put_batch(a, mesh)
-        return put_replicated(a, mesh)
-    def put_idx(idx):
-        return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    hr_train = stats_train = hr_val = stats_val = None
-    if plan is not None:
-        stats_val_np = plan.split_stats(ds_val)
-    else:
-        hr_train = put_data(ds_train.hr_device())
-        hr_val = put_data(ds_val.hr_device())
-        stats_train = put_replicated(ds_train.stats, mesh)
-        stats_val = put_replicated(ds_val.stats, mesh)
+        def train_call(state, item, rng):
+            return train_step(state, item["hr"], item["stats"], item["idx"], rng)
 
-    primary = plan is None or plan.is_primary
-    os.makedirs(cfg.plotdir, exist_ok=True)
-    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_edm.jsonl")
-    logger = MetricLogger(metrics_path if primary else None,
-                          use_wandb=cfg.wandb and primary)
-    timer = StepTimer(cfg.profile_dir)
-    rng = jax.random.key(cfg.seed + 3, impl=cfg.rng_impl)
-    eval_rng = jax.random.key(cfg.eval_seed, impl=cfg.rng_impl)
+        def eval_call(params, item, rng, beta):
+            return eval_step(params, item["hr"], item["stats"], item["idx"], rng)
 
-    # Exact resume, same mechanism as train_probunet: steps/epoch is constant,
-    # so the restored step counter determines (epoch, intra-epoch offset) and
-    # the continuation replays the identical batch/noise sequence.
-    nb_epoch = (plan.steps_per_epoch if plan is not None
-                else len(ds_train) // cfg.batch_size)
-    tr_losses, val_losses = [], []
-    step_count = resume_step
-    for epoch in range(1, cfg.num_epochs + 1):
-        if step_count >= epoch * nb_epoch:
-            continue  # epoch fully covered by the resumed checkpoint
-        offset = step_count - (epoch - 1) * nb_epoch
-        running = []
-        timer.reset()
-        desc = f"Train(edm) :: Epoch: {epoch}/{cfg.num_epochs}"
+        def crps_call(params, item, rng):
+            return crps_fn(params, item["hr"], item["stats"], item["idx"], rng)
 
-        def after_step(metrics):
-            nonlocal step_count
-            step_count += 1
-            timer.tick(cfg.batch_size)
-            running.append(metrics["train_loss"])
-            if step_count % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["samples_per_sec"] = timer.rate()
-                logger.log(m, step=step_count)
-
-        if plan is not None:
-            batches = plan.epoch_batches(cfg.seed + epoch)[offset:]
-            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np)
-            for item in progress(it, desc=desc, total=batches.shape[0]):
-                state, metrics = train_step(state, item["hr"], item["stats"],
-                                            item["idx"], rng)
-                after_step(metrics)
-        else:
-            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(offset, batches.shape[0]), desc=desc):
-                idx = put_idx(jnp.asarray(batches[bi]))
-                state, metrics = train_step(state, hr_train, stats_train, idx, rng)
-                after_step(metrics)
-        tr_losses.append(float(jnp.mean(jnp.stack(running))) if running
-                         else float("nan"))
-
-        vloss = []
-        if plan is not None:
-            vbatches = plan.replicated_batches(len(ds_val))
-            for bi in range(vbatches.shape[0]):
-                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                         replicated_source=True)
-                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
-                              jax.random.fold_in(eval_rng, bi))
-                vloss.append(m["val_loss"])
-        else:
-            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-            for bi in range(vbatches.shape[0]):
-                idx = put_idx(jnp.asarray(vbatches[bi]))
-                m = eval_step(state.params, hr_val, stats_val, idx,
-                              jax.random.fold_in(eval_rng, bi))
-                vloss.append(m["val_loss"])
-        val_losses.append(float(jnp.mean(jnp.stack(vloss))))
-        logger.log({"epoch": epoch, "epoch_train_loss": tr_losses[-1],
-                    "val_loss": val_losses[-1]}, step=step_count)
-
-        # ---- optional Heun-ensemble CRPS (same metric surface as probunet) ----
-        if crps_fn is not None:
-            acc = {}
-            nb_crps = _crps_batches(cfg, vbatches.shape[0])
-            for bi in range(nb_crps):
-                rng_b = jax.random.fold_in(eval_rng, 10_000 + bi)
-                if plan is not None:
-                    item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                             replicated_source=True)
-                    m = crps_fn(state.params, item["hr"], item["stats"],
-                                item["idx"], rng_b)
-                else:
-                    idx = put_idx(jnp.asarray(vbatches[bi]))
-                    m = crps_fn(state.params, hr_val, stats_val, idx, rng_b)
-                for k, v in m.items():
-                    acc.setdefault(k, []).append(float(v))
-            crps_metrics = {k: float(np.mean(v)) for k, v in acc.items()}
-            crps_metrics["crps_batches_evaluated"] = nb_crps
-            logger.log(crps_metrics, step=step_count)
-
-        if make_plots and epoch % 2 == 0:
+        def plot_fn(state, epoch):
             # make_edm_sample_fn shares make_sample_fn's surface, so the
             # prob-U-Net plot helper serves the diffusion ensemble unchanged
-            _plot_probunet_samples(cfg, model, state, ds_test, sample_fn, mesh, epoch,
-                                   plan=plan)
+            _plot_probunet_samples(cfg, model, state, ctx.datasets["test"],
+                                   sample_fn, ctx.mesh, epoch, plan=ctx.plan)
 
-        # all processes: orbax coordinates multi-process saves itself
-        save_checkpoint(os.path.join(cfg.checkpoints_dir, "edm"), jax.device_get(state))
+        return EngineFns(
+            train_call=train_call, eval_call=eval_call,
+            crps_call=crps_call if crps_fn is not None else None,
+            plot_fn=plot_fn)
 
-    if make_plots and primary:
-        from probunet_tpu.viz import plot_loss_curves
-        plot_loss_curves(tr_losses, val_losses, os.path.join(cfg.plotdir, "loss_edm.png"))
-    logger.close()
-    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses,
-            "samples_per_sec": timer.rate()}
+    spec = EngineSpec(
+        name="edm", metrics_filename="metrics_edm.jsonl",
+        init_state=lambda tx: init_edm_state(cfg, model, tx),
+        make_fns=make_fns, desc="Train(edm)", rng_offset=3,
+        loss_curve="loss_edm.png")
+    return run_training(cfg, spec, datasets, make_plots)
 
 
 def build_baseline_model(cfg: Config):
@@ -645,7 +336,8 @@ def build_baseline_model(cfg: Config):
                     use_diffuse=False,
                     model_channels=width, channel_mult=tuple(cfg.channel_mult),
                     num_blocks=cfg.num_blocks, attn_resolutions=(),
-                    bottleneck_attention=False, dropout=cfg.dropout)
+                    bottleneck_attention=False, dropout=cfg.dropout,
+                    remat=cfg.remat)
     if cfg.ds_model == "linearcnn":
         return LinearCNN(resolution=tuple(cfg.resolution), in_channels=cfg.nvars,
                          ds_factor=cfg.lowres_scale)
@@ -655,15 +347,8 @@ def build_baseline_model(cfg: Config):
 def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = None,
                    make_plots: bool = True) -> Dict:
     """The reference ``baseline/main.py`` pipeline (deterministic models + BCSD)."""
-    from probunet_tpu.parallel.multihost import make_plan
-
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    datasets = datasets or load_datasets(cfg)
-    ds_train, ds_val = datasets["train"], datasets["val"]
-    dtype = _compute_dtype(cfg)
-
     if cfg.ds_model == "bcsd":
-        return run_bcsd(cfg, datasets)
+        return run_bcsd(cfg, datasets or load_datasets(cfg))
     if cfg.ds_model == "edm":
         return train_edm(cfg, datasets, make_plots)
     if cfg.ds_model == "vae":
@@ -672,184 +357,98 @@ def train_baseline(cfg: Config, datasets: Optional[Dict[str, ClimexDataset]] = N
         # deterministic driver's choices but never dispatches it)
         return train_probunet(cfg, datasets, make_plots)
 
-    plan = make_plan(cfg, ds_train, mesh)
     model = build_baseline_model(cfg)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer,
-                        state_dtype=cfg.opt_state_dtype)
-    h, w = cfg.resolution
-    rngs = {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(cfg.seed + 1)}
-    label_cols = 2 if cfg.timetransform == "cyclic" else 1  # time_features width
-    variables = model.init(rngs, jnp.zeros((1, h, w, cfg.nvars)),
-                           class_labels=jnp.zeros((1, label_cols)), train=False)
-    state = create_train_state(variables["params"], tx)
-    if cfg.resume:
-        from probunet_tpu.train.checkpoint import restore_checkpoint
-        state = restore_checkpoint(cfg.resume, state)
-        print(f"resumed from {cfg.resume} at step {int(state.step)}")
-    state = plan.put_state(state) if plan else put_replicated(state, mesh)
+    dtype = _compute_dtype(cfg)
 
-    train_step = make_deterministic_train_step(model, tx, cfg.lowres_scale,
-                                               cfg.standardization, dtype,
-                                               donate=cfg.donate_state,
-                                               timetransform=cfg.timetransform,
-                                               watch=cfg.watch_every > 0)
-    eval_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
-                                             cfg.variables, reconstruct=False,
-                                             timetransform=cfg.timetransform)
-    mae_step = make_deterministic_eval_step(model, cfg.lowres_scale, cfg.standardization,
-                                            cfg.variables, reconstruct=True, loss="mae",
-                                            timetransform=cfg.timetransform)
-
-    # Same data-residency policy as train_probunet: time-shard the dataset
-    # tensor across the mesh when divisible, or stream host->device batches.
-    nd = mesh.devices.size
-    def put_data(a):
-        if nd > 1 and a.shape[0] % nd == 0:
-            return put_batch(a, mesh)
-        return put_replicated(a, mesh)
-    def put_idx(idx):
-        return put_batch(idx, mesh) if idx.shape[-1] % nd == 0 else put_replicated(idx, mesh)
-    streaming = (not cfg.device_resident_data) and plan is None
-    hr_train = stats_train = hr_val = stats_val = ts_train = ts_val = None
-    if plan is not None:
-        stats_val_np = plan.split_stats(ds_val)
-    elif streaming:
-        from probunet_tpu.data.pipeline import compute_lr_stats_streaming
-        stats_train_np = compute_lr_stats_streaming(ds_train.hr_np, cfg.lowres_scale,
-                                                    cfg.standardization)
-    else:
-        hr_train = put_data(ds_train.hr_device())
-        stats_train = put_replicated(ds_train.stats, mesh)
-    if plan is None:
-        hr_val = put_data(ds_val.hr_device())
-        stats_val = put_replicated(ds_val.stats, mesh)
-        ts_train = jnp.asarray(ds_train.timestamps_np)
-        ts_val = jnp.asarray(ds_val.timestamps_np)
-
-    primary = plan is None or plan.is_primary
-    os.makedirs(cfg.plotdir, exist_ok=True)
-    metrics_path = cfg.metrics_path or os.path.join(cfg.plotdir, "metrics_baseline.jsonl")
-    logger = MetricLogger(metrics_path if primary else None,
-                          use_wandb=cfg.wandb and primary)
-    rng = jax.random.key(cfg.seed + 2)
+    def init_state(tx):
+        h, w = cfg.resolution
+        rngs = {"params": jax.random.key(cfg.seed),
+                "dropout": jax.random.key(cfg.seed + 1)}
+        label_cols = 2 if cfg.timetransform == "cyclic" else 1  # time_features width
+        variables = model.init(rngs, jnp.zeros((1, h, w, cfg.nvars)),
+                               class_labels=jnp.zeros((1, label_cols)), train=False)
+        return create_train_state(variables["params"], tx)
 
     tr_losses = {v: [] for v in cfg.variables}
     val_losses = {v: [] for v in cfg.variables}
-    step_count = 0
 
-    def record(metrics):
-        """Shared per-step bookkeeping across the three ingest branches."""
-        nonlocal step_count
-        step_count += 1
-        for i, v in enumerate(cfg.variables):
-            tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
-        if step_count % cfg.log_every == 0:
-            logger.log({k: float(x) for k, x in metrics.items()
-                        if not k.startswith("gradnorm/")}, step=step_count)
-        if cfg.watch_every and step_count % cfg.watch_every == 0:
-            # wandb.watch parity (reference baseline/main.py:57-58)
-            logger.log({k: float(x) for k, x in metrics.items()
-                        if k.startswith("gradnorm/")}, step=step_count)
-            logger.log_param_histograms(state.params, step=step_count)
+    def make_fns(ctx):
+        train_step = make_deterministic_train_step(
+            model, ctx.tx, cfg.lowres_scale, cfg.standardization, dtype,
+            donate=cfg.donate_state, timetransform=cfg.timetransform,
+            watch=cfg.watch_every > 0)
+        eval_step = make_deterministic_eval_step(
+            model, cfg.lowres_scale, cfg.standardization, cfg.variables,
+            reconstruct=False, timetransform=cfg.timetransform)
+        mae_step = make_deterministic_eval_step(
+            model, cfg.lowres_scale, cfg.standardization, cfg.variables,
+            reconstruct=True, loss="mae", timetransform=cfg.timetransform)
 
-    for epoch in range(1, cfg.num_epochs + 1):
-        desc = f"Train :: Epoch: {epoch}/{cfg.num_epochs}"
-        if plan is not None:
-            batches = plan.epoch_batches(cfg.seed + epoch)
-            it = plan.batch_iter(ds_train.hr_np, batches, plan.stats_np,
-                                 timestamps_np=ds_train.timestamps_np)
-            for item in progress(it, desc=desc, total=batches.shape[0]):
-                state, metrics = train_step(state, item["hr"], item["stats"],
-                                            item["idx"], item["timestamps"], rng)
-                record(metrics)
-        elif streaming:
-            from probunet_tpu.data.pipeline import stream_batches
-            from probunet_tpu.parallel import batch_sharding, replicated
-            nb = len(ds_train) // cfg.batch_size
-            bsh = (batch_sharding(mesh) if cfg.batch_size % nd == 0
-                   else replicated(mesh))
-            it = stream_batches(ds_train.hr_np, cfg.batch_size, cfg.seed + epoch,
-                                stats_train_np, cfg.standardization,
-                                timestamps_np=ds_train.timestamps_np,
-                                sharding=bsh,
-                                replicated_sharding=replicated(mesh))
-            arange = put_idx(jnp.arange(cfg.batch_size))
-            for item in progress(it, desc=desc, total=nb):
-                state, metrics = train_step(state, item["hr"], item.get("stats"),
-                                            arange, item["timestamps"], rng)
-                record(metrics)
-        else:
-            batches = ds_train.epoch_indices(cfg.seed + epoch, cfg.batch_size)
-            for bi in progress(range(batches.shape[0]), desc=desc):
-                idx = jnp.asarray(batches[bi])
-                state, metrics = train_step(state, hr_train, stats_train,
-                                            put_idx(idx), ts_train[idx], rng)
-                record(metrics)
-        if plan is not None:
-            vbatches = plan.replicated_batches(len(ds_val))
-            for bi in range(vbatches.shape[0]):
-                item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                         timestamps_np=ds_val.timestamps_np,
-                                         replicated_source=True)
-                m = eval_step(state.params, item["hr"], item["stats"], item["idx"],
-                              item["timestamps"])
-                for v in cfg.variables:
-                    val_losses[v].append(float(m[f"eval_{v}"]))
-        else:
-            vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-            for bi in range(vbatches.shape[0]):
-                idx = jnp.asarray(vbatches[bi])
-                m = eval_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
-                for v in cfg.variables:
-                    val_losses[v].append(float(m[f"eval_{v}"]))
+        def train_call(state, item, rng):
+            return train_step(state, item["hr"], item["stats"], item["idx"],
+                              item["timestamps"], rng)
 
-    # sample + plot_batch (reference baseline/main.py:88-90, trainmodel.py:204-233)
-    if make_plots and primary:
-        if plan is not None:
-            # plot locally on the primary: host params + this process's full
-            # val copy (no mesh collectives in the plot path)
-            from probunet_tpu.train.state import TrainState
-            state_h = TrainState(jax.device_get(state.params), None, 0)
-            hr_v = jnp.asarray(ds_val.hr_np)
-            st_v = None if stats_val_np is None else tuple(
-                jnp.asarray(s) for s in stats_val_np)
-            _plot_baseline_samples(cfg, model, state_h, ds_val, hr_v, st_v,
-                                   jnp.asarray(ds_val.timestamps_np))
-        else:
-            _plot_baseline_samples(cfg, model, state, ds_val, hr_val, stats_val, ts_val)
-        _plot_baseline_losses(cfg, tr_losses, val_losses)
+        def eval_call(params, item, rng, beta):
+            return eval_step(params, item["hr"], item["stats"], item["idx"],
+                             item["timestamps"])
 
-    # checkpoint (reference baseline/main.py:108-109) — all processes: orbax
-    # coordinates multi-process saves itself (see train_probunet note)
-    save_checkpoint(os.path.join(cfg.checkpoints_dir, cfg.ds_model),
-                    jax.device_get(state))
+        def on_train_metrics(metrics):
+            for i, v in enumerate(cfg.variables):
+                tr_losses[v].append(float(metrics[f"train_loss_var{i}"]))
 
-    # final physical-unit MAE (reference baseline/main.py:112-115)
-    mae = {v: [] for v in cfg.variables}
-    if plan is not None:
-        vbatches = plan.replicated_batches(len(ds_val))
-        for bi in range(vbatches.shape[0]):
-            item = plan.device_batch(ds_val.hr_np, vbatches[bi], stats_val_np,
-                                     timestamps_np=ds_val.timestamps_np,
-                                     replicated_source=True)
-            m = mae_step(state.params, item["hr"], item["stats"], item["idx"],
-                         item["timestamps"])
+        def on_val_metrics(mf):
             for v in cfg.variables:
-                mae[v].append(float(m[f"eval_{v}"]))
-    else:
-        vbatches = ds_val.epoch_indices(0, cfg.batch_size, shuffle=False)
-        for bi in range(vbatches.shape[0]):
-            idx = jnp.asarray(vbatches[bi])
-            m = mae_step(state.params, hr_val, stats_val, put_idx(idx), ts_val[idx])
-            for v in cfg.variables:
-                mae[v].append(float(m[f"eval_{v}"]))
-    mae = {v: float(np.mean(x)) for v, x in mae.items()}
-    if primary:
-        for v in cfg.variables:
-            print(f"MAE for {v} on validation data: ", mae[v])
-    logger.log({f"mae_{v}": mae[v] for v in cfg.variables}, step=step_count)
-    logger.close()
-    return {"state": state, "tr_losses": tr_losses, "val_losses": val_losses, "mae": mae}
+                val_losses[v].append(mf[f"eval_{v}"])
+
+        def final_fn(state, logger, global_step):
+            # sample + plot_batch (baseline/main.py:88-90, trainmodel.py:204-233)
+            if make_plots and ctx.primary:
+                ds_val = ctx.ds_val
+                if ctx.hr_val is not None:
+                    hr_v, st_v, ts_v = ctx.hr_val, ctx.stats_val, ctx.ts_val
+                else:
+                    # plan/streaming: plot from this process's host copy (no
+                    # mesh collectives in the plot path)
+                    hr_v = jnp.asarray(ds_val.hr_np)
+                    stats_np = (ctx.stats_val_np if ctx.stats_val_np is not None
+                                else None)
+                    st_v = None if stats_np is None else tuple(
+                        jnp.asarray(s) for s in stats_np)
+                    ts_v = jnp.asarray(ds_val.timestamps_np)
+                plot_state = state
+                if ctx.plan is not None:
+                    from probunet_tpu.train.state import TrainState
+                    plot_state = TrainState(jax.device_get(state.params), None, 0)
+                _plot_baseline_samples(cfg, model, plot_state, ds_val, hr_v,
+                                       st_v, ts_v)
+                _plot_baseline_losses(cfg, tr_losses, val_losses)
+
+            # final physical-unit MAE (reference baseline/main.py:112-115)
+            mae = {v: [] for v in cfg.variables}
+            for gids in ctx.val_batches():
+                item = ctx.val_item(gids)
+                m = mae_step(state.params, item["hr"], item["stats"],
+                             item["idx"], item["timestamps"])
+                for v in cfg.variables:
+                    mae[v].append(float(m[f"eval_{v}"]))
+            mae = {v: float(np.mean(x)) for v, x in mae.items()}
+            if ctx.primary:
+                for v in cfg.variables:
+                    print(f"MAE for {v} on validation data: ", mae[v])
+            logger.log({f"mae_{v}": mae[v] for v in cfg.variables},
+                       step=global_step)
+            return {"tr_losses": tr_losses, "val_losses": val_losses, "mae": mae}
+
+        return EngineFns(
+            train_call=train_call, eval_call=eval_call,
+            on_train_metrics=on_train_metrics, on_val_metrics=on_val_metrics,
+            final_fn=final_fn)
+
+    spec = EngineSpec(
+        name=cfg.ds_model, metrics_filename="metrics_baseline.jsonl",
+        init_state=init_state, make_fns=make_fns, desc="Train", rng_offset=2,
+        needs_timestamps=True)
+    return run_training(cfg, spec, datasets, make_plots)
 
 
 def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset],
@@ -933,8 +532,12 @@ def run_bcsd(cfg: Config, datasets: Dict[str, ClimexDataset],
 
 
 def moving_average(x, w: int):
-    """Smoothing for loss-curve plots (reference baseline/main.py:12-13)."""
+    """Smoothing for loss-curve plots (reference baseline/main.py:12-13).
+    Empty in -> empty out (a --max_steps stop can end a run before any eval
+    batch, leaving a loss series empty)."""
     x = np.asarray(x)
+    if x.size == 0:
+        return x
     w = max(1, min(w, len(x)))
     return np.convolve(x, np.ones(w), "valid") / w
 

@@ -287,6 +287,7 @@ def make_edm_train_step(
     sigma_data: float = 1.0,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    watch: bool = False,
 ):
     """EDM denoising-score-matching step for diffusion-based downscaling.
 
@@ -319,7 +320,10 @@ def make_edm_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), {"train_loss": loss}
+        metrics = {"train_loss": loss, "grad_norm": optax.global_norm(grads)}
+        if watch:
+            metrics.update(_grad_leaf_norms(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -14,6 +14,7 @@ logs through the standard MetricLogger.
 
 from __future__ import annotations
 
+import glob
 import itertools
 import json
 import os
@@ -43,6 +44,44 @@ def _metric_name(sweep: Dict) -> str:
     return "val_loss" if name == "val-loss" else name
 
 
+def _resolve_metric(result: Dict, metric: str, cfg: Config) -> float:
+    """Value of the optimization metric for one finished run.
+
+    ``val_loss`` comes straight from the train result; any other metric name
+    (e.g. ``crps_pr``, ``ensmean_mae_tasmax``, ``mae_pr``) is read from the
+    run's metrics JSONL — the last record containing the key wins, so
+    per-epoch metrics resolve to their final-epoch value. This is what lets a
+    sweep optimize anything the training loop logs, not just loss-shaped
+    keys in the result dict."""
+    if metric == "val_loss" and result.get("val_losses"):
+        v = result["val_losses"][-1]
+        if not isinstance(v, (dict, list)):
+            return float(v)
+    if metric in result and not isinstance(result[metric], (dict, list)):
+        return float(result[metric])
+    if isinstance(result.get("mae"), dict) and metric.startswith("mae_"):
+        var = metric[len("mae_"):]
+        if var in result["mae"]:
+            return float(result["mae"][var])
+    paths = ([cfg.metrics_path] if cfg.metrics_path else
+             sorted(glob.glob(os.path.join(cfg.plotdir, "metrics*.jsonl"))))
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        value = None
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if metric in rec:
+                    value = rec[metric]
+        if value is not None:
+            return float(value)
+    raise KeyError(
+        f"sweep metric {metric!r} not found in the run result or in the "
+        f"run's metrics files ({paths}); check the sweep YAML's metric.name "
+        "against the keys the training loop logs")
+
+
 def run_sweep(sweep_path: str, base_cfg: Config, out_path: Optional[str] = None,
               train_fn=None) -> Dict:
     """Execute the grid; returns {"runs": [...], "best": {...}}."""
@@ -61,8 +100,7 @@ def run_sweep(sweep_path: str, base_cfg: Config, out_path: Optional[str] = None,
         cfg = cfg.replace(plotdir=os.path.join(base_cfg.plotdir, f"sweep_{i}"),
                           checkpoints_dir=os.path.join(base_cfg.checkpoints_dir, f"sweep_{i}"))
         result = train_fn(cfg)
-        value = (result["val_losses"][-1] if metric in ("val_loss",)
-                 else result.get(metric))
+        value = _resolve_metric(result, metric, cfg)
         runs.append({"point": point, "metric": metric, "value": float(value)})
         print(f"[sweep {i}] {point} -> {metric}={value:.4f}")
 
@@ -100,9 +138,7 @@ def run_wandb_agent(sweep_path: str, base_cfg: Config, train_fn=None,
             overrides["wandb"] = False  # the agent owns the run; avoid nesting
             cfg = base_cfg.replace(**overrides)
             result = train_fn(cfg)
-            value = (result["val_losses"][-1] if metric in ("val_loss",)
-                     else result.get(metric))
-            run.log({raw_metric: float(value)})
+            run.log({raw_metric: _resolve_metric(result, metric, cfg)})
 
     wandb.agent(sweep_id, function=_run, count=count)
     return sweep_id

@@ -21,6 +21,13 @@ from probunet_tpu.utils.hostinit import apply_platform_override
 # by this environment's sitecustomize); must run before any backend touch.
 apply_platform_override()
 
+from probunet_tpu.parallel.multihost import maybe_initialize_distributed
+
+# Must run before any backend touch: multi-process serving shards the batch
+# ranges over processes (each writes its time slice; primary merges); no-op
+# on a single host.
+maybe_initialize_distributed()
+
 from probunet_tpu.config import get_config
 from probunet_tpu.serve import downscale
 

@@ -31,3 +31,18 @@ REFERENCE_DIR = "/root/reference"
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def datadir_small(tmp_path_factory):
+    """Shared tiny synthetic ClimEx dataset (16x16 grid, 16 days/year,
+    3 years) for fast driver-lifecycle tests."""
+    from probunet_tpu.data.synthetic import generate_climex_like
+
+    d = tmp_path_factory.mktemp("climex_small")
+    generate_climex_like(str(d), years=(2000, 2001, 2002), grid=16,
+                         days_per_year=16)
+    return str(d)

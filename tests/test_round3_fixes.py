@@ -160,11 +160,14 @@ class TestExactResume:
                                    rtol=1e-6)
 
     def test_checkpoint_every_periodic_saves(self, tmp_path, monkeypatch):
+        # the epoch loop (and its checkpoint cadence) lives in the shared
+        # engine now, so that's where the save call is intercepted
+        import probunet_tpu.train.engine as E
         import probunet_tpu.train.loop as L
 
         calls = []
-        orig = L.save_checkpoint
-        monkeypatch.setattr(L, "save_checkpoint",
+        orig = E.save_checkpoint
+        monkeypatch.setattr(E, "save_checkpoint",
                             lambda d, s: calls.append(d) or orig(d, s))
         cfg = self._cfg(tmp_path, "p", checkpoint_every=2)
         L.train_probunet(cfg, datasets=self._datasets(), make_plots=False)
