@@ -191,9 +191,17 @@ class StreamingFieldWriter:
                  lat: Optional[np.ndarray] = None,
                  lon: Optional[np.ndarray] = None,
                  attrs: Optional[Dict[str, str]] = None,
-                 time_chunk: int = 64):
+                 time_chunk: int = 64,
+                 compression: str = "gzip"):
+        """``compression``: 'gzip' (netCDF-standard deflate, max interop —
+        but ~40 MB/s on one host core, which makes century-scale serving
+        WRITE-bound: measured 0.7 inputs/s vs ~15 with 'none' at 128x128
+        K=16, BASELINE_MEASURED.md), 'lzf' (h5py-only filter, ~5x faster,
+        needs the lzf filter on the reader side), or 'none'."""
         if h5py is None:
             raise ImportError("h5py is required to write netCDF output")
+        if compression not in ("gzip", "lzf", "none"):
+            raise ValueError(f"unknown compression {compression!r}")
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         days = np.asarray(timestamps_ns, dtype=np.float64) / 86400e9
@@ -207,12 +215,16 @@ class StreamingFieldWriter:
             self._f.create_dataset("lat", data=np.asarray(lat, np.float32))
         if lon is not None:
             self._f.create_dataset("lon", data=np.asarray(lon, np.float32))
+        comp = {}
+        if compression == "gzip":
+            comp = {"compression": "gzip", "compression_opts": 1}
+        elif compression == "lzf":
+            comp = {"compression": "lzf"}
         self._ds = {}
         for name, shape in shapes.items():
             chunk = (min(time_chunk, shape[0]),) + tuple(shape[1:])
             ds = self._f.create_dataset(name, shape=shape, dtype=np.float32,
-                                        chunks=chunk, compression="gzip",
-                                        compression_opts=1)
+                                        chunks=chunk, **comp)
             for k, v in (attrs or {}).items():
                 ds.attrs[k] = np.bytes_(v)
             self._ds[name] = ds

@@ -24,6 +24,7 @@ replicated (each process reads the year range once).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -39,6 +40,28 @@ from probunet_tpu.train.checkpoint import restore_checkpoint
 from probunet_tpu.train.loop import abstract_probunet_state, build_probunet
 from probunet_tpu.train.state import make_optimizer
 from probunet_tpu.utils.logging import progress
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_probunet_sample_fn(model, lowres_scale, standardization,
+                               num_samples, dtype):
+    """One jitted sampler per (model, schedule) across downscale() calls.
+    A fresh jax.jit instance per call would re-trace AND re-enter the
+    fresh-executable slow window (~10x for its first ~50 batches, NOTES.md
+    #2) on every serving request — measured 635 vs 55 ms/batch at 128x128
+    K=16. Same idiom as steps._edm_sample_jitted."""
+    return make_sample_fn(model, lowres_scale, standardization, num_samples,
+                          dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_edm_sample_fn(model, lowres_scale, standardization, num_samples,
+                          num_steps, dtype):
+    """EDM counterpart of :func:`_cached_probunet_sample_fn`."""
+    from probunet_tpu.train import make_edm_sample_fn
+
+    return make_edm_sample_fn(model, lowres_scale, standardization,
+                              num_samples, num_steps, compute_dtype=dtype)
 
 
 def _batch_range(nb: int, pi: int, pc: int):
@@ -58,11 +81,20 @@ def downscale(
     batch_size: Optional[int] = None,
     seed: int = 0,
     dataset: Optional[ClimexDataset] = None,
+    compression: str = "gzip",
+    batch_seconds: Optional[list] = None,
 ) -> str:
     """Run ensemble downscaling over a year range and write netCDF output.
 
     Returns the written path. Output per variable: (T, K, H, W) physical-unit
-    HR fields (the residual->HR inverse applied on device)."""
+    HR fields (the residual->HR inverse applied on device).
+
+    ``compression``: 'gzip' (netCDF-standard, max interop) makes the pipeline
+    WRITE-bound on a single host core; 'none'/'lzf' leave it bound by the
+    device->host ensemble fetch (BASELINE_MEASURED.md has the decomposition).
+    ``batch_seconds``: optional list; appends each loop iteration's wall time
+    (dispatch of batch i + overlapped write of batch i-1) — the measurement
+    hook scripts/serve_throughput.py uses for steady-state rates."""
     from probunet_tpu.parallel.multihost import allgather_counts, process_info
 
     pi, pc = process_info()
@@ -79,19 +111,19 @@ def downscale(
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.ds_model == "edm":
         # diffusion downscaler: Heun ensemble sampler, same output contract
-        from probunet_tpu.train import make_edm_sample_fn
         from probunet_tpu.train.loop import abstract_edm_state, build_edm_model
         model = build_edm_model(cfg)
         template = abstract_edm_state(cfg, model, tx)
-        sample_fn = make_edm_sample_fn(model, cfg.lowres_scale, cfg.standardization,
-                                       num_samples, cfg.edm_steps,
-                                       compute_dtype=dtype)
+        sample_fn = _cached_edm_sample_fn(model, cfg.lowres_scale,
+                                          cfg.standardization, num_samples,
+                                          cfg.edm_steps, dtype)
     else:
         model = build_probunet(cfg)
         # Abstract (eval_shape) restore template: no real init on the serving path.
         template = abstract_probunet_state(cfg, model, tx)
-        sample_fn = make_sample_fn(model, cfg.lowres_scale, cfg.standardization,
-                                   num_samples, dtype)
+        sample_fn = _cached_probunet_sample_fn(model, cfg.lowres_scale,
+                                               cfg.standardization,
+                                               num_samples, dtype)
     state = restore_checkpoint(checkpoint_dir, template)
 
     # Sampling runs data-parallel over this process's LOCAL mesh (params
@@ -126,8 +158,11 @@ def downscale(
     # fetched and appended while the NEXT batch computes on device (the
     # one-deep pipeline below), so host memory stays O(batch), not O(T).
     with StreamingFieldWriter(my_path, shapes, ds.timestamps_np[t_lo:t_hi],
-                              lat=ds.lat, lon=ds.lon, attrs=attrs) as writer:
+                              lat=ds.lat, lon=ds.lon, attrs=attrs,
+                              compression=compression) as writer:
+        import time as _time
         pending = None  # (t0, rows_to_keep, device_preds)
+        last_t = _time.perf_counter()
         for bi in progress(range(lo_b, hi_b), desc="Downscaling"):
             idx = put_idx(jnp.asarray(batches[bi]))
             # RNG folds on the GLOBAL batch index, so the multi-process
@@ -138,6 +173,10 @@ def downscale(
                 _write_chunk(writer, cfg.variables, *pending)
             pending = (bi * batch_size - t_lo,
                        min(batch_size, n - bi * batch_size), preds)
+            if batch_seconds is not None:
+                now = _time.perf_counter()
+                batch_seconds.append(now - last_t)
+                last_t = now
         if pending is not None:
             _write_chunk(writer, cfg.variables, *pending)
 
@@ -148,7 +187,7 @@ def downscale(
                              f"{out_path}.part{p}") for p in range(pc)]
             _merge_parts(out_path, part_offsets, cfg.variables,
                          {var: (n, num_samples, h, w) for var in cfg.variables},
-                         ds.timestamps_np, ds.lat, ds.lon, attrs)
+                         ds.timestamps_np, ds.lat, ds.lon, attrs, compression)
         allgather_counts(2)  # barrier: merged file visible before any return
         if pi == 0:
             for _, part in part_offsets:
@@ -157,13 +196,14 @@ def downscale(
 
 
 def _merge_parts(out_path, part_offsets, variables, shapes, timestamps,
-                 lat, lon, attrs, chunk: int = 64) -> None:
+                 lat, lon, attrs, compression: str = "gzip",
+                 chunk: int = 64) -> None:
     """Primary-process merge: stream every part's per-variable datasets into
     the final full-range file, chunk by chunk (host memory stays O(chunk))."""
     import h5py
 
     with StreamingFieldWriter(out_path, shapes, timestamps, lat=lat, lon=lon,
-                              attrs=attrs) as writer:
+                              attrs=attrs, compression=compression) as writer:
         for t0, part in part_offsets:
             with h5py.File(part, "r") as f:
                 nt = f[variables[0]].shape[0] if variables else 0

@@ -36,9 +36,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", default="./results/downscaled.nc")
+    p.add_argument("--nc_compression", default="gzip",
+                   choices=("gzip", "lzf", "none"),
+                   help="gzip = netCDF-standard (but write-bound on one host "
+                        "core); none/lzf = compute-bound serving")
     args, rest = p.parse_known_args()
     cfg = get_config(rest)
-    path = downscale(cfg, args.checkpoint, args.out)
+    path = downscale(cfg, args.checkpoint, args.out,
+                     compression=args.nc_compression)
     print(f"wrote {path}")
 
 

@@ -5,14 +5,17 @@ Measures ``serve.downscale`` — checkpoint restore -> K-member ensemble
 sampling -> physical-unit inverse -> streaming netCDF writes overlapped with
 the next batch's compute — in inputs/s (days downscaled per second).
 
-Honest-timing discipline (NOTES.md): the measured quantity is a wall-clock
-window that ends only after the output file is fully written (file contents
-are the completion barrier), and the run is measured TWICE — the first
-window carries compile + fresh-executable warmup (the ~2-10x first-window
-artifact), the second is the steady-state number reported.
+Honest-timing discipline (NOTES.md): the end-to-end window is wall-clock
+ending only after the output file is fully written (file contents are the
+completion barrier). The per-call cost structure on this runtime is
+fixed-startup-heavy — checkpoint restore + 1.25 GB state read + 400 MB
+params upload through the tunnel (~30 s) plus the fresh-executable slow
+window (~50 first calls up to 10x slow) — so the STEADY-STATE rate is taken
+from per-batch loop timings (``downscale(batch_seconds=...)``): median of
+the second half of a long, warmed run.
 
     python scripts/serve_throughput.py                # 128x128, K=16, b8
-    BENCH_RES=64 BENCH_K=8 python scripts/serve_throughput.py
+    BENCH_RES=64 BENCH_K=8 BENCH_COMPRESSION=none python scripts/serve_throughput.py
 """
 
 import json
@@ -41,6 +44,8 @@ def main():
     k = int(os.environ.get("BENCH_K", "16"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     days = int(os.environ.get("BENCH_DAYS", "64"))
+    days_long = int(os.environ.get("BENCH_DAYS_LONG", str(3 * days)))
+    compression = os.environ.get("BENCH_COMPRESSION", "gzip")
     workdir = os.environ.get("BENCH_WORKDIR", "/tmp/probunet_serve_bench")
     os.makedirs(workdir, exist_ok=True)
 
@@ -49,12 +54,18 @@ def main():
                  compute_dtype="bfloat16", fast_attention=True)
 
     # synthetic host dataset (serving reads from an in-memory ClimexDataset
-    # here; the netCDF read path is measured separately in test/data benches)
+    # here; the netCDF read path is measured separately in test/data benches).
+    # Smooth spatial fields, not white noise — compression throughput depends
+    # on compressibility and climate fields are smooth.
     import numpy as np
     rng = np.random.default_rng(0)
-    hr = (rng.standard_normal((days, res, res, 3)) + 2.0).astype(np.float32)
-    ds = ClimexDataset(hr=hr, standardization=cfg.standardization,
-                       lowres_scale=cfg.lowres_scale)
+    base = rng.standard_normal((days_long, res // 8, res // 8, 3)).astype(np.float32)
+    hr_all = np.repeat(np.repeat(base, 8, axis=1), 8, axis=2) + 2.0
+    hr_all += 0.05 * rng.standard_normal(hr_all.shape).astype(np.float32)
+
+    def mkds(n):
+        return ClimexDataset(hr=hr_all[:n], standardization=cfg.standardization,
+                             lowres_scale=cfg.lowres_scale)
 
     # checkpoint: shape-faithful random params (serving throughput does not
     # depend on the weights' values)
@@ -69,29 +80,41 @@ def main():
         open(marker, "w").close()
         del state
 
-    windows = []
-    for w in range(2):
-        out = os.path.join(workdir, f"out_w{w}.nc")
+    ds = mkds(days_long)
+
+    def run(tag, seed, times=None):
+        out = os.path.join(workdir, f"out_{tag}.nc")
         if os.path.exists(out):
             os.remove(out)
         t0 = time.perf_counter()
         downscale(cfg, ckpt_dir, out, dataset=ds, num_samples=k,
-                  batch_size=batch, seed=w)
+                  batch_size=batch, seed=seed, compression=compression,
+                  batch_seconds=times)
         dt = time.perf_counter() - t0  # file closed = all writes landed
-        windows.append(dt)
         size_mb = os.path.getsize(out) / 1e6
-        print(f"window {w}: {dt:.2f} s  ({days / dt:.1f} inputs/s, "
-              f"{days * k / dt:.1f} member-fields/s, {size_mb:.0f} MB written)",
+        print(f"{tag}: {days_long} days in {dt:.2f} s  "
+              f"({days_long / dt:.1f} inputs/s e2e, {size_mb:.0f} MB written)",
               flush=True)
+        return dt
 
-    dt = windows[-1]  # steady-state window (NOTES.md two-window rule)
+    run("warmup", 99)  # compile + most of the fresh-executable slow window
+    times: list = []
+    t_e2e = run("measured", 0, times)
+    tail = times[len(times) // 2:]
+    tail.sort()
+    med = tail[len(tail) // 2]
+    steady = batch / med
     print(json.dumps({
-        "metric": "serving_inputs_per_sec",
-        "value": round(days / dt, 2),
-        "unit": f"inputs/s (K={k} members, {res}x{res}, b{batch}, "
-                "netCDF writes overlapped)",
-        "member_fields_per_sec": round(days * k / dt, 1),
-        "window_s": [round(x, 2) for x in windows],
+        "metric": "serving_inputs_per_sec_steady",
+        "value": round(steady, 2),
+        "unit": f"inputs/s steady-state (K={k} members, {res}x{res}, "
+                f"b{batch}, compression={compression}, netCDF writes "
+                "overlapped; median per-batch time of the warmed run's "
+                "second half)",
+        "member_fields_per_sec": round(steady * k, 1),
+        "e2e_inputs_per_sec": round(days_long / t_e2e, 2),
+        "median_batch_s": round(med, 3),
+        "fixed_startup_s_est": round(t_e2e - days_long / steady, 1),
     }))
 
 

@@ -78,3 +78,32 @@ def test_downscale_end_to_end(tmp_path):
     # members differ (prior sampling) and live in a physical range
     assert pr.std(axis=1).mean() > 0
     assert tasmin.mean() > 200, "tasmin should be in Kelvin scale"
+
+
+def test_streaming_writer_compression_modes(tmp_path):
+    """'none' and 'lzf' produce identical field VALUES to the gzip default
+    (compression is the serving write-throughput lever: gzip is netCDF-
+    standard but write-bound on one host core, BASELINE_MEASURED.md)."""
+    from probunet_tpu.data.netcdf import StreamingFieldWriter
+
+    t, k, h, w = 6, 2, 8, 8
+    rng = np.random.default_rng(3)
+    data = rng.random((t, k, h, w)).astype(np.float32)
+    ts = (np.arange(t) + 20000.0) * 86400e9
+    outs = {}
+    for comp in ("gzip", "none", "lzf"):
+        out = os.path.join(str(tmp_path), f"c_{comp}.nc")
+        with StreamingFieldWriter(out, {"pr": (t, k, h, w)}, ts,
+                                  compression=comp) as wr:
+            wr.append({"pr": data}, 0)
+        outs[comp] = out
+    with NetCDFFile(outs["gzip"]) as f:
+        ref = f.read_var("pr")
+    np.testing.assert_array_equal(ref, data)
+    for comp in ("none", "lzf"):
+        with NetCDFFile(outs[comp]) as f:
+            np.testing.assert_array_equal(f.read_var("pr"), ref)
+    import pytest
+    with pytest.raises(ValueError):
+        StreamingFieldWriter(os.path.join(str(tmp_path), "bad.nc"),
+                             {"pr": (t, k, h, w)}, ts, compression="zstd")
