@@ -171,6 +171,27 @@ def load_window(
     }
 
 
+def pack_params(lo: float, hi: float):
+    """CF short-packing parameters for the value range [lo, hi]:
+    scale_factor/add_offset such that the range maps onto int16
+    [-32767, 32767] (−32768 reserved as a fill value by convention).
+    Quantization step = (hi-lo)/65534 — e.g. ~0.002 K over a 150 K
+    temperature range, far finer than bfloat16."""
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"packing range must have hi > lo, got [{lo}, {hi}]")
+    scale = (hi - lo) / 65534.0
+    offset = (hi + lo) / 2.0
+    return scale, offset
+
+
+def pack_int16(arr: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Pack a float array into CF int16 (values outside [lo, hi] clip)."""
+    scale, offset = pack_params(lo, hi)
+    q = np.rint((np.asarray(arr, np.float64) - offset) / scale)
+    return np.clip(q, -32767, 32767).astype(np.int16)
+
+
 class StreamingFieldWriter:
     """Incremental netCDF-4 writer for serving: datasets are created at full
     (T[, K], H, W) size up front and filled chunk-by-chunk with
@@ -192,16 +213,27 @@ class StreamingFieldWriter:
                  lon: Optional[np.ndarray] = None,
                  attrs: Optional[Dict[str, str]] = None,
                  time_chunk: int = 64,
-                 compression: str = "gzip"):
+                 compression: str = "gzip",
+                 packing: Optional[Dict[str, tuple]] = None):
         """``compression``: 'gzip' (netCDF-standard deflate, max interop —
-        but ~40 MB/s on one host core, which makes century-scale serving
-        WRITE-bound: measured 0.7 inputs/s vs ~15 with 'none' at 128x128
-        K=16, BASELINE_MEASURED.md), 'lzf' (h5py-only filter, ~5x faster,
-        needs the lzf filter on the reader side), or 'none'."""
+        but only a few MB/s on one host core, which makes century-scale
+        serving WRITE-bound, BASELINE_MEASURED.md), 'lzf' (h5py-only filter,
+        much faster, needs the lzf filter on the reader side), or 'none'.
+
+        ``packing``: optional {var: (lo, hi)} — store those variables as
+        CF-standard int16 with ``scale_factor``/``add_offset`` attributes
+        (the packing convention climate archives themselves use; values
+        outside [lo, hi] clip). Halves bytes vs float32 at quantization step
+        (hi-lo)/65534, and lets the serving path transfer int16 off the
+        device (the measured serving bottleneck). ``NetCDFFile.read_var``
+        (and any netCDF reader) un-packs transparently. :meth:`append`
+        accepts either raw int16 (already packed, e.g. on-device) or float
+        arrays (packed here on host) for a packed variable."""
         if h5py is None:
             raise ImportError("h5py is required to write netCDF output")
         if compression not in ("gzip", "lzf", "none"):
             raise ValueError(f"unknown compression {compression!r}")
+        self._packing = dict(packing or {})
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         days = np.asarray(timestamps_ns, dtype=np.float64) / 86400e9
@@ -223,8 +255,14 @@ class StreamingFieldWriter:
         self._ds = {}
         for name, shape in shapes.items():
             chunk = (min(time_chunk, shape[0]),) + tuple(shape[1:])
-            ds = self._f.create_dataset(name, shape=shape, dtype=np.float32,
+            dtype = np.int16 if name in self._packing else np.float32
+            ds = self._f.create_dataset(name, shape=shape, dtype=dtype,
                                         chunks=chunk, **comp)
+            if name in self._packing:
+                lo, hi = self._packing[name]
+                scale, offset = pack_params(lo, hi)
+                ds.attrs["scale_factor"] = np.float64(scale)
+                ds.attrs["add_offset"] = np.float64(offset)
             for k, v in (attrs or {}).items():
                 ds.attrs[k] = np.bytes_(v)
             self._ds[name] = ds
@@ -232,7 +270,13 @@ class StreamingFieldWriter:
     def append(self, fields: Dict[str, np.ndarray], t0: int) -> None:
         """Write each variable's chunk at time offset ``t0``."""
         for name, arr in fields.items():
-            arr = np.asarray(arr, np.float32)
+            arr = np.asarray(arr)
+            if name in self._packing:
+                if arr.dtype != np.int16:  # host-side pack of float input
+                    lo, hi = self._packing[name]
+                    arr = pack_int16(arr, lo, hi)
+            else:
+                arr = arr.astype(np.float32, copy=False)
             self._ds[name][t0:t0 + arr.shape[0]] = arr
 
     def close(self) -> None:

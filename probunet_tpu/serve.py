@@ -83,6 +83,7 @@ def downscale(
     dataset: Optional[ClimexDataset] = None,
     compression: str = "gzip",
     batch_seconds: Optional[list] = None,
+    pack_ranges: Optional[dict] = None,
 ) -> str:
     """Run ensemble downscaling over a year range and write netCDF output.
 
@@ -94,7 +95,15 @@ def downscale(
     device->host ensemble fetch (BASELINE_MEASURED.md has the decomposition).
     ``batch_seconds``: optional list; appends each loop iteration's wall time
     (dispatch of batch i + overlapped write of batch i-1) — the measurement
-    hook scripts/serve_throughput.py uses for steady-state rates."""
+    hook scripts/serve_throughput.py uses for steady-state rates.
+
+    ``pack_ranges``: optional {var: (lo, hi)} covering EVERY output variable
+    — CF-standard int16 packing (scale_factor/add_offset; values outside the
+    range clip; quantization step (hi-lo)/65534). The pack runs ON DEVICE so
+    the per-batch ensemble crosses the device->host link as int16, HALVING
+    the transfer that bounds this pipeline (BASELINE_MEASURED.md), and the
+    archive stores 2 bytes/value. Readers (incl. NetCDFFile.read_var)
+    un-pack transparently via the CF attributes."""
     from probunet_tpu.parallel.multihost import allgather_counts, process_info
 
     pi, pc = process_info()
@@ -144,6 +153,23 @@ def downscale(
                 else put_replicated(idx, mesh))
     rng = jax.random.key(seed)
 
+    pack_fn = None
+    if pack_ranges is not None:
+        from probunet_tpu.data.netcdf import pack_params
+        missing = [v for v in cfg.variables if v not in pack_ranges]
+        if missing:
+            raise ValueError(f"pack_ranges must cover every output variable; "
+                             f"missing {missing}")
+        scales, offsets = zip(*(pack_params(*pack_ranges[v])
+                                for v in cfg.variables))
+        sc = jnp.asarray(scales, jnp.float32)
+        off = jnp.asarray(offsets, jnp.float32)
+
+        @jax.jit
+        def pack_fn(preds):  # (..., C) float -> CF int16, clipped
+            q = jnp.round((preds.astype(jnp.float32) - off) / sc)
+            return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
     batches = ds.epoch_indices(0, batch_size, shuffle=False, drop_remainder=False)
     nb = batches.shape[0]
     lo_b, hi_b = _batch_range(nb, pi, pc)
@@ -159,7 +185,8 @@ def downscale(
     # one-deep pipeline below), so host memory stays O(batch), not O(T).
     with StreamingFieldWriter(my_path, shapes, ds.timestamps_np[t_lo:t_hi],
                               lat=ds.lat, lon=ds.lon, attrs=attrs,
-                              compression=compression) as writer:
+                              compression=compression,
+                              packing=pack_ranges) as writer:
         import time as _time
         pending = None  # (t0, rows_to_keep, device_preds)
         last_t = _time.perf_counter()
@@ -169,6 +196,8 @@ def downscale(
             # output equals the single-process run draw-for-draw
             preds, _ = sample_fn(params, hr_all, stats, idx,
                                  jax.random.fold_in(rng, bi))  # async dispatch
+            if pack_fn is not None:
+                preds = pack_fn(preds)  # int16 crosses the host link, not f32
             if pending is not None:
                 _write_chunk(writer, cfg.variables, *pending)
             pending = (bi * batch_size - t_lo,
@@ -187,7 +216,8 @@ def downscale(
                              f"{out_path}.part{p}") for p in range(pc)]
             _merge_parts(out_path, part_offsets, cfg.variables,
                          {var: (n, num_samples, h, w) for var in cfg.variables},
-                         ds.timestamps_np, ds.lat, ds.lon, attrs, compression)
+                         ds.timestamps_np, ds.lat, ds.lon, attrs, compression,
+                         packing=pack_ranges)
         allgather_counts(2)  # barrier: merged file visible before any return
         if pi == 0:
             for _, part in part_offsets:
@@ -197,13 +227,15 @@ def downscale(
 
 def _merge_parts(out_path, part_offsets, variables, shapes, timestamps,
                  lat, lon, attrs, compression: str = "gzip",
-                 chunk: int = 64) -> None:
+                 packing: Optional[dict] = None, chunk: int = 64) -> None:
     """Primary-process merge: stream every part's per-variable datasets into
-    the final full-range file, chunk by chunk (host memory stays O(chunk))."""
+    the final full-range file, chunk by chunk (host memory stays O(chunk)).
+    Packed variables move as raw int16 (h5py reads skip the CF un-pack)."""
     import h5py
 
     with StreamingFieldWriter(out_path, shapes, timestamps, lat=lat, lon=lon,
-                              attrs=attrs, compression=compression) as writer:
+                              attrs=attrs, compression=compression,
+                              packing=packing) as writer:
         for t0, part in part_offsets:
             with h5py.File(part, "r") as f:
                 nt = f[variables[0]].shape[0] if variables else 0
@@ -215,6 +247,9 @@ def _merge_parts(out_path, part_offsets, variables, shapes, timestamps,
 def _write_chunk(writer: StreamingFieldWriter, variables, t0: int, take: int,
                  preds) -> None:
     """Host-fetch one batch's (b, K, H, W, C) ensemble (de-padding the tail)
-    and append it per variable."""
-    arr = np.asarray(preds, dtype=np.float32)[:take]
+    and append it per variable. The dtype passes through: float32 normally,
+    int16 when the ensemble was CF-packed on device."""
+    arr = np.asarray(preds)[:take]
+    if arr.dtype != np.int16:
+        arr = arr.astype(np.float32, copy=False)
     writer.append({var: arr[..., i] for i, var in enumerate(variables)}, t0)

@@ -40,10 +40,25 @@ def main():
                    choices=("gzip", "lzf", "none"),
                    help="gzip = netCDF-standard (but write-bound on one host "
                         "core); none/lzf = compute-bound serving")
+    p.add_argument("--pack", action="append", default=None,
+                   metavar="VAR=LO:HI",
+                   help="CF int16 packing range per variable (repeatable; "
+                        "must cover every output variable), e.g. "
+                        "--pack pr=0:0.02 --pack tasmin=180:330 "
+                        "--pack tasmax=180:330. Halves the device->host "
+                        "transfer and the archive size; values outside clip")
     args, rest = p.parse_known_args()
     cfg = get_config(rest)
+    pack_ranges = None
+    if args.pack:
+        pack_ranges = {}
+        for spec in args.pack:
+            var, rng = spec.split("=", 1)
+            lo, hi = rng.split(":", 1)
+            pack_ranges[var] = (float(lo), float(hi))
     path = downscale(cfg, args.checkpoint, args.out,
-                     compression=args.nc_compression)
+                     compression=args.nc_compression,
+                     pack_ranges=pack_ranges)
     print(f"wrote {path}")
 
 

@@ -107,3 +107,104 @@ def test_streaming_writer_compression_modes(tmp_path):
     with pytest.raises(ValueError):
         StreamingFieldWriter(os.path.join(str(tmp_path), "bad.nc"),
                              {"pr": (t, k, h, w)}, ts, compression="zstd")
+
+
+def test_writer_int16_packing_roundtrip(tmp_path):
+    """CF short packing: int16 storage with scale_factor/add_offset, read
+    back transparently by NetCDFFile; quantization error <= scale/2; values
+    outside the range clip."""
+    import h5py
+
+    from probunet_tpu.data.netcdf import StreamingFieldWriter, pack_params
+
+    t, k, h, w = 4, 2, 8, 8
+    rng = np.random.default_rng(5)
+    data = (200 + 100 * rng.random((t, k, h, w))).astype(np.float32)
+    data[0, 0, 0, 0] = 500.0  # above range -> clips to hi
+    ts = (np.arange(t) + 20000.0) * 86400e9
+    out = os.path.join(str(tmp_path), "packed.nc")
+    with StreamingFieldWriter(out, {"tas": (t, k, h, w)}, ts,
+                              packing={"tas": (180.0, 330.0)}) as wr:
+        wr.append({"tas": data}, 0)
+
+    scale, offset = pack_params(180.0, 330.0)
+    with h5py.File(out) as f:
+        assert f["tas"].dtype == np.int16
+        assert f["tas"].attrs["scale_factor"] == scale
+    with NetCDFFile(out) as f:
+        back = f.read_var("tas")  # read_var applies scale/offset
+    inside = np.ones(data.shape, bool)
+    inside[0, 0, 0, 0] = False
+    np.testing.assert_allclose(back[inside], data[inside], atol=scale / 2 + 1e-6)
+    assert abs(back[0, 0, 0, 0] - 330.0) <= scale  # clipped to range top
+
+
+def test_downscale_with_packing(tmp_path):
+    """On-device CF int16 packing through the full serving path: the packed
+    output equals the unpacked output within one quantization step, and the
+    file stores int16 (half the bytes crossing the device->host link)."""
+    import h5py
+
+    from probunet_tpu.data.netcdf import pack_params
+
+    datadir = os.path.join(str(tmp_path), "data")
+    generate_climex_like(datadir, years=(2000, 2001), grid=16, days_per_year=8)
+    cfg = Config(
+        datadir=datadir, years_train=(2000, 2001), years_val=(2001, 2002),
+        years_test=(2001, 2002), coords=(0, 16, 0, 16), resolution=(16, 16),
+        lowres_scale=2, batch_size=4, num_epochs=1, latent_dim=4,
+        standardization="pertimestep", num_filters=(8,), model_channels=8,
+        channel_mult=(1, 2), num_blocks=1, attn_resolutions=(8,),
+        plotdir=os.path.join(str(tmp_path), "plots"),
+        checkpoints_dir=os.path.join(str(tmp_path), "ckpt"))
+    train_probunet(cfg, make_plots=False)
+    ckpt = os.path.join(cfg.checkpoints_dir, "probunet")
+
+    out_f32 = downscale(cfg, ckpt, os.path.join(str(tmp_path), "f32.nc"),
+                        num_samples=2)
+    ranges = {"pr": (-0.01, 0.05), "tasmin": (150.0, 350.0),
+              "tasmax": (150.0, 350.0)}
+    out_i16 = downscale(cfg, ckpt, os.path.join(str(tmp_path), "i16.nc"),
+                        num_samples=2, pack_ranges=ranges)
+
+    with h5py.File(out_i16) as f:
+        assert f["pr"].dtype == np.int16
+    for var in ("pr", "tasmin", "tasmax"):
+        with NetCDFFile(out_f32) as a, NetCDFFile(out_i16) as b:
+            ref, packed = a.read_var(var), b.read_var(var)
+        scale, _ = pack_params(*ranges[var])
+        np.testing.assert_allclose(packed, ref, atol=scale + 1e-7)
+
+    # pack_ranges must cover every variable
+    import pytest
+    with pytest.raises(ValueError, match="every output variable"):
+        downscale(cfg, ckpt, os.path.join(str(tmp_path), "bad.nc"),
+                  num_samples=2, pack_ranges={"pr": (0, 1)})
+
+
+def test_merge_parts_preserves_packing(tmp_path):
+    """The multi-process merge moves packed variables as raw int16 (no
+    unpack/repack round trip): merged file == concatenation of the parts."""
+    from probunet_tpu.data.netcdf import StreamingFieldWriter, pack_int16
+    from probunet_tpu.serve import _merge_parts
+
+    rng = np.random.default_rng(9)
+    t, k, h, w = 6, 2, 4, 4
+    data = (200 + 100 * rng.random((t, k, h, w))).astype(np.float32)
+    ts = (np.arange(t) + 20000.0) * 86400e9
+    packing = {"tas": (180.0, 330.0)}
+    parts = []
+    for p, (lo, hi) in enumerate([(0, 4), (4, 6)]):
+        path = os.path.join(str(tmp_path), f"m.nc.part{p}")
+        with StreamingFieldWriter(path, {"tas": (hi - lo, k, h, w)},
+                                  ts[lo:hi], packing=packing) as wr:
+            wr.append({"tas": data[lo:hi]}, 0)
+        parts.append((lo, path))
+    out = os.path.join(str(tmp_path), "m.nc")
+    _merge_parts(out, parts, ["tas"], {"tas": (t, k, h, w)}, ts, None, None,
+                 {}, packing=packing)
+    import h5py
+    with h5py.File(out) as f:
+        assert f["tas"].dtype == np.int16
+        np.testing.assert_array_equal(f["tas"][...],
+                                      pack_int16(data, 180.0, 330.0))
