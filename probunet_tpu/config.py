@@ -72,7 +72,11 @@ class Config:
     # "data" = DP mesh; "spatial" = H-axis model parallelism; "2d" = both at
     # once on a (data, space) mesh (--mesh_shape dp,-1)
     parallel_mode: str = "data"
-    device_resident_data: bool = True            # keep the full HR tensor in HBM
+    # Keep the full HR tensor in HBM ("auto": yes for parallel_mode=data —
+    # the fused-gather fast path — no for spatial/2d, whose reason to exist
+    # is tiles too large for resident placement; True/False force it).
+    # Resolve via .resident_data, never read this field directly.
+    device_resident_data: object = "auto"        # "auto" | True | False
     # Ingest shard count for the lockstep multi-host batch plan. 0 = auto
     # (jax.process_count()). Setting >1 on a SINGLE process reproduces the
     # multi-process stratified batch order exactly — the mechanism the
@@ -127,8 +131,23 @@ class Config:
             raise ValueError(f"unknown opt_state_dtype {self.opt_state_dtype!r}")
         if self.parallel_mode not in ("data", "spatial", "2d"):
             raise ValueError(f"unknown parallel_mode {self.parallel_mode!r}")
+        v = self.device_resident_data
+        if isinstance(v, str) and v.lower() not in (
+                "auto", "true", "false", "1", "0", "yes", "no"):
+            raise ValueError(f"device_resident_data must be auto/true/false, "
+                             f"got {v!r}")
 
     # ---- convenience ----
+    @property
+    def resident_data(self) -> bool:
+        """Resolved device-residency policy (see device_resident_data)."""
+        v = self.device_resident_data
+        if isinstance(v, str):
+            if v.lower() == "auto":
+                return self.parallel_mode == "data"
+            return v.lower() in ("1", "true", "yes")
+        return bool(v)
+
     @property
     def nvars(self) -> int:
         return len(self.variables)

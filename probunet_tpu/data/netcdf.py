@@ -254,10 +254,16 @@ class StreamingFieldWriter:
             comp = {"compression": "lzf"}
         self._ds = {}
         for name, shape in shapes.items():
-            chunk = (min(time_chunk, shape[0]),) + tuple(shape[1:])
             dtype = np.int16 if name in self._packing else np.float32
-            ds = self._f.create_dataset(name, shape=shape, dtype=dtype,
-                                        chunks=chunk, **comp)
+            if shape[0] == 0:
+                # empty time range (e.g. an idle process's part file in a
+                # many-process serve): chunks must be positive, so create
+                # the zero-length dataset contiguous/uncompressed
+                ds = self._f.create_dataset(name, shape=shape, dtype=dtype)
+            else:
+                chunk = (min(time_chunk, shape[0]),) + tuple(shape[1:])
+                ds = self._f.create_dataset(name, shape=shape, dtype=dtype,
+                                            chunks=chunk, **comp)
             if name in self._packing:
                 lo, hi = self._packing[name]
                 scale, offset = pack_params(lo, hi)

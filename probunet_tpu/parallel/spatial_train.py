@@ -300,9 +300,10 @@ def train_probunet_spatial(cfg, datasets=None, make_plots: bool = True):
     (:mod:`probunet_tpu.train.engine`), so this driver only contributes the
     sharded step functions and the H-sharded ensemble tails.
 
-    Ingest: the default keeps the dataset tensor device-resident
-    (time-sharded across the mesh); ``--device_resident_data false`` streams
-    double-buffered host->device batches (the tiles-beyond-HBM mode). Either
+    Ingest: the default ("auto") STREAMS double-buffered host->device
+    batches — the tiles-beyond-HBM mode this driver exists for;
+    ``--device_resident_data true`` keeps the dataset tensor device-resident
+    (time-sharded across the mesh when divisible) for small tiles. Either
     way LR/HR pair synthesis runs in a jitted reshard
     (``pair_item_fn``) whose outputs land on the (batch, space) layout the
     shard_map'd ELBO expects.

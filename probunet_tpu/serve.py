@@ -20,6 +20,12 @@ index, so the merged output is byte-identical to a single-process run of the
 same checkpoint (tests/test_multihost_e2e.py). Compute — the expensive side
 of K-member ensemble sampling — scales linearly with processes; ingest is
 replicated (each process reads the year range once).
+
+The part-file merge requires ``out_path``'s directory to be on a filesystem
+shared by all processes (NFS/GCS-fuse on a pod slice); on per-host local
+disks the primary fails fast with a message saying so — point ``out_path``
+at shared storage, or run one ``downscale`` per host over disjoint year
+ranges instead.
 """
 
 from __future__ import annotations
@@ -65,11 +71,15 @@ def _cached_edm_sample_fn(model, lowres_scale, standardization, num_samples,
 
 
 def _batch_range(nb: int, pi: int, pc: int):
-    """Contiguous [lo, hi) batch-index range owned by process ``pi`` (sizes
-    differ by at most 1, same partition rule as multihost.shard_years)."""
-    base, rem = divmod(nb, pc)
-    lo = pi * base + min(pi, rem)
-    return lo, lo + base + (1 if pi < rem else 0)
+    """Contiguous [lo, hi) batch-index range owned by process ``pi`` — THE
+    partition rule is :func:`multihost.shard_years` (one implementation, so
+    the byte-identical single-vs-multi-process guarantee can't drift). With
+    more processes than batches, trailing processes get an empty range (they
+    still participate in the merge barriers)."""
+    from probunet_tpu.parallel.multihost import shard_years
+
+    lo = sum(len(shard_years(range(nb), p, pc)) for p in range(pi))
+    return lo, lo + len(shard_years(range(nb), pi, pc))
 
 
 def downscale(
@@ -174,8 +184,11 @@ def downscale(
     nb = batches.shape[0]
     lo_b, hi_b = _batch_range(nb, pi, pc)
     n, h, w = len(ds), hr_np.shape[1], hr_np.shape[2]
-    t_lo = lo_b * batch_size
-    t_hi = min(n, hi_b * batch_size)
+    # clamp BOTH bounds: a process whose range is empty (pc > nb) or whose
+    # range starts past the ragged tail owns zero rows — it writes an empty
+    # part and still joins the merge barriers
+    t_lo = min(lo_b * batch_size, n)
+    t_hi = min(hi_b * batch_size, n)
     my_path = out_path if pc == 1 else f"{out_path}.part{pi}"
     attrs = {"source": "probunet_tpu ensemble downscaling",
              "members": str(num_samples)}
@@ -233,6 +246,14 @@ def _merge_parts(out_path, part_offsets, variables, shapes, timestamps,
     Packed variables move as raw int16 (h5py reads skip the CF un-pack)."""
     import h5py
 
+    missing = [part for _, part in part_offsets if not os.path.exists(part)]
+    if missing:
+        raise RuntimeError(
+            f"part files not visible to the primary: {missing} — "
+            "multi-process serving needs out_path on a filesystem shared by "
+            "all processes (each writes its own part there); on per-host "
+            "local disks run one downscale per host over disjoint year "
+            "ranges instead")
     with StreamingFieldWriter(out_path, shapes, timestamps, lat=lat, lon=lon,
                               attrs=attrs, compression=compression,
                               packing=packing) as writer:

@@ -151,7 +151,11 @@ class EngineCtx:
         self.primary = plan is None or plan.is_primary
         ds_train, ds_val = datasets["train"], datasets["val"]
         self.ds_train, self.ds_val = ds_train, ds_val
-        self.streaming = (not cfg.device_resident_data) and plan is None
+        # "auto" residency: resident for the DP fast path, streaming for
+        # spatial/2d (whose reason to exist is tiles beyond resident
+        # placement — replicating a non-divisible HR tensor to every chip
+        # would defeat the mode); True/False force it (cfg.resident_data).
+        self.streaming = (not cfg.resident_data) and plan is None
 
         axis = _data_axis(mesh)
         self._axis = axis

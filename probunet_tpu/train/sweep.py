@@ -53,11 +53,14 @@ def _resolve_metric(result: Dict, metric: str, cfg: Config) -> float:
     per-epoch metrics resolve to their final-epoch value. This is what lets a
     sweep optimize anything the training loop logs, not just loss-shaped
     keys in the result dict."""
-    if metric == "val_loss" and result.get("val_losses"):
-        v = result["val_losses"][-1]
-        if not isinstance(v, (dict, list)):
-            return float(v)
-    if metric in result and not isinstance(result[metric], (dict, list)):
+    if metric == "val_loss":
+        vl = result.get("val_losses")
+        # the baseline driver's val_losses is a per-variable DICT — fall
+        # through to the JSONL lookup for it instead of indexing [-1]
+        if isinstance(vl, (list, tuple)) and vl \
+                and not isinstance(vl[-1], (dict, list)):
+            return float(vl[-1])
+    if metric in result and not isinstance(result[metric], (dict, list, tuple)):
         return float(result[metric])
     if isinstance(result.get("mae"), dict) and metric.startswith("mae_"):
         var = metric[len("mae_"):]

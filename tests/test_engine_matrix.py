@@ -117,11 +117,12 @@ def datadir32(tmp_path_factory):
 
 def test_spatial_streaming_matches_resident(datadir32, tmp_path):
     """The spatial driver now honors --device_resident_data (VERDICT round-4
-    item 8): streaming (double-buffered host->device) and resident (dataset
-    tensor in HBM, gathered in the jitted pair reshard) produce identical
-    losses."""
+    item 8): streaming (double-buffered host->device — the spatial default,
+    'auto' resolves to streaming here) and resident (dataset tensor in HBM,
+    gathered in the jitted pair reshard) produce identical losses."""
     kw = dict(standardization="none", **SPATIAL_KW)
-    cfg_r = _cfg(datadir32, tmp_path, "sp_res", **kw)
+    cfg_r = _cfg(datadir32, tmp_path, "sp_res", device_resident_data=True, **kw)
+    assert not _cfg(datadir32, tmp_path, "sp_auto", **kw).resident_data
     res_r = train_probunet(cfg_r, make_plots=False)
     cfg_s = _cfg(datadir32, tmp_path, "sp_str", device_resident_data=False, **kw)
     res_s = train_probunet(cfg_s, make_plots=False)

@@ -208,3 +208,33 @@ def test_merge_parts_preserves_packing(tmp_path):
         assert f["tas"].dtype == np.int16
         np.testing.assert_array_equal(f["tas"][...],
                                       pack_int16(data, 180.0, 330.0))
+
+
+def test_batch_range_more_processes_than_batches(tmp_path):
+    """Idle processes (pc > nb, or ranges past the ragged tail) get empty,
+    non-crashing ranges, and the writer accepts zero-length part shapes —
+    the many-process serve must reach its merge barriers instead of dying
+    in h5py (code-review round-5 finding #1)."""
+    from probunet_tpu.data.netcdf import StreamingFieldWriter
+    from probunet_tpu.serve import _batch_range
+
+    # n=10 days, batch 4 -> nb=3; 4 processes
+    ranges = [_batch_range(3, p, 4) for p in range(4)]
+    assert ranges == [(0, 1), (1, 2), (2, 3), (3, 3)]
+    covered = [b for lo, hi in ranges for b in range(lo, hi)]
+    assert covered == [0, 1, 2]
+    # process 3: t_lo = min(3*4, 10) = 10 = t_hi -> empty part file
+    ts = np.zeros((0,), np.float64)
+    out = os.path.join(str(tmp_path), "empty_part.nc")
+    with StreamingFieldWriter(out, {"pr": (0, 2, 4, 4)}, ts) as wr:
+        pass  # no appends
+    import h5py
+    with h5py.File(out) as f:
+        assert f["pr"].shape == (0, 2, 4, 4)
+
+    # the partition rule IS multihost.shard_years (single source of truth)
+    from probunet_tpu.parallel.multihost import shard_years
+    for nb, pc in ((3, 4), (10, 3), (8, 8), (1, 5)):
+        for p in range(pc):
+            lo, hi = _batch_range(nb, p, pc)
+            assert list(range(lo, hi)) == shard_years(range(nb), p, pc)

@@ -109,3 +109,23 @@ parameters:
     for r in res["runs"]:
         assert np.isfinite(r["value"]) and r["value"] > 0
     assert res["best"]["value"] == min(r["value"] for r in res["runs"])
+
+
+def test_resolve_metric_handles_baseline_dict_result(tmp_path):
+    """The baseline driver returns per-variable DICTS for val_losses —
+    _resolve_metric must fall through to the JSONL (and report a clear error
+    if the metric isn't there), not crash on ['val_losses'][-1]
+    (code-review round-5 finding #2)."""
+    import pytest
+
+    from probunet_tpu.train.sweep import _resolve_metric
+
+    cfg = Config(plotdir=os.path.join(str(tmp_path), "none"))
+    baseline_result = {"val_losses": {"pr": [1.0], "tasmin": [2.0]},
+                       "tr_losses": {"pr": [0.5]},
+                       "mae": {"pr": 3.0}}
+    # mae_<var> resolves from the result dict
+    assert _resolve_metric(baseline_result, "mae_pr", cfg) == 3.0
+    # val_loss falls through past the dict and reports a clear error
+    with pytest.raises(KeyError, match="not found"):
+        _resolve_metric(baseline_result, "val_loss", cfg)
