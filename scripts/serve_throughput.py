@@ -40,6 +40,7 @@ def main():
     from probunet_tpu.train.loop import build_probunet
     from probunet_tpu.train.state import make_optimizer
 
+    model_kind = os.environ.get("BENCH_MODEL", "probabilistic_unet")
     res = int(os.environ.get("BENCH_RES", "128"))
     k = int(os.environ.get("BENCH_K", "16"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
@@ -54,7 +55,8 @@ def main():
     os.makedirs(workdir, exist_ok=True)
 
     cfg = Config(resolution=(res, res), coords=(0, res, 0, res),
-                 batch_size=batch, num_samples=k,
+                 batch_size=batch, num_samples=k, ds_model=model_kind,
+                 edm_steps=int(os.environ.get("BENCH_EDM_STEPS", "18")),
                  compute_dtype="bfloat16", fast_attention=True)
 
     # synthetic host dataset (serving reads from an in-memory ClimexDataset
@@ -73,13 +75,16 @@ def main():
 
     # checkpoint: shape-faithful random params (serving throughput does not
     # depend on the weights' values)
-    ckpt_dir = os.path.join(workdir, "ckpt")
+    ckpt_dir = os.path.join(workdir, f"ckpt_{model_kind}")
     marker = os.path.join(ckpt_dir, f"done_{res}")
     if not os.path.exists(marker):
-        from probunet_tpu.train.loop import init_probunet_state
-        model = build_probunet(cfg)
         tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.accum, cfg.optimizer)
-        state = init_probunet_state(cfg, model, tx)
+        if model_kind == "edm":
+            from probunet_tpu.train.loop import build_edm_model, init_edm_state
+            state = init_edm_state(cfg, build_edm_model(cfg), tx)
+        else:
+            from probunet_tpu.train.loop import init_probunet_state
+            state = init_probunet_state(cfg, build_probunet(cfg), tx)
         save_checkpoint(ckpt_dir, jax.device_get(state))
         open(marker, "w").close()
         del state
@@ -111,10 +116,10 @@ def main():
     print(json.dumps({
         "metric": "serving_inputs_per_sec_steady",
         "value": round(steady, 2),
-        "unit": f"inputs/s steady-state (K={k} members, {res}x{res}, "
-                f"b{batch}, compression={compression}, pack={pack}, netCDF "
-                "writes overlapped; median per-batch time of the warmed "
-                "run's second half)",
+        "unit": f"inputs/s steady-state ({model_kind}, K={k} members, "
+                f"{res}x{res}, b{batch}, compression={compression}, "
+                f"pack={pack}, netCDF writes overlapped; median per-batch "
+                "time of the warmed run's second half)",
         "member_fields_per_sec": round(steady * k, 1),
         "e2e_inputs_per_sec": round(days_long / t_e2e, 2),
         "median_batch_s": round(med, 3),
