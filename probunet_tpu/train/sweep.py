@@ -58,7 +58,7 @@ def _resolve_metric(result: Dict, metric: str, cfg: Config) -> float:
         # the baseline driver's val_losses is a per-variable DICT — fall
         # through to the JSONL lookup for it instead of indexing [-1]
         if isinstance(vl, (list, tuple)) and vl \
-                and not isinstance(vl[-1], (dict, list)):
+                and not isinstance(vl[-1], (dict, list, tuple)):
             return float(vl[-1])
     if metric in result and not isinstance(result[metric], (dict, list, tuple)):
         return float(result[metric])
